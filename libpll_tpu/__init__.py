@@ -1,0 +1,25 @@
+"""libpll_tpu — a TPU-native phylogenetic likelihood engine.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of libpll
+(conditional likelihoods, GTR/empirical models, Γ+I rate heterogeneity,
+ascertainment-bias correction, analytic branch-length derivatives, Fitch and
+Sankoff parsimony, tree objects/moves/traversals, FASTA/PHYLIP/Newick I/O),
+with sites sharded data-parallel across device meshes.
+
+Float64 is the engine's reference precision (like the C library); importing
+this package enables jax x64 support. Performance paths use explicit float32.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .engine.partition import (ASC_FELSENSTEIN, ASC_LEWIS, ASC_NONE,
+                               ASC_STAMATAKIS, Operation, Partition)
+from .errors import PllError
+from .io import maps
+from .models.gamma import compute_gamma_cats
+from .utils.constants import (GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN,
+                              SCALE_BUFFER_NONE)
+
+__version__ = "0.1.0"
