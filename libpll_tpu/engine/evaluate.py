@@ -1,0 +1,182 @@
+"""Fused device pipelines: P-matrices → CLV sweep → log-likelihood in one jit.
+
+The Partition class mirrors the reference's step-by-step API; this module is
+the TPU-first composition of the same kernels into single compiled programs
+(the host/device boundary of SURVEY §3.1): one call computes all transition
+matrices, executes the whole post-order schedule with the level-major
+throughput sweep (:mod:`libpll_tpu.ops.sweep`), and reduces the edge
+log-likelihood — with every per-site array shardable over a device mesh and
+the final reduction crossing the mesh as one psum inserted by XLA.
+
+Topology (the operation schedule and evaluation edge) is baked into the
+returned function as compile-time constants; model parameters and CLV state
+are traced arguments, so branch-length or model changes never retrace.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import derivatives as deriv_ops
+from ..ops import likelihood as lk_ops
+from ..ops.pmatrix import compute_pmatrices
+from ..ops.sweep import LevelSchedule, build_level_schedule, make_level_sweep
+from ..utils.constants import SCALE_PER_RATE, SCALE_PER_SITE
+
+
+class EvalTopology(NamedTuple):
+    """Static description of one evaluation: schedule + evaluation edge.
+
+    CLV/scaler indices are in the *level-major* space of the schedule
+    (see ops/sweep.py); ``topology_from_tree`` performs the translation from
+    the reference index conventions.
+    """
+
+    schedule: LevelSchedule
+    matrix_indices: np.ndarray  # [B] int32
+    n_pmatrices: int
+    parent_clv: int
+    child_clv: int
+    edge_matrix: int
+    sites: int
+    scale_mode: int = SCALE_PER_SITE
+    asc_mode: int = 0
+
+    @property
+    def dummy_scaler(self) -> int:
+        return self.schedule.n_inner
+
+    def scaler_row(self, clv_row: int) -> int:
+        return (clv_row - self.schedule.tips
+                if clv_row >= self.schedule.tips else self.dummy_scaler)
+
+
+def topology_from_tree(tree, sites, scale_mode=SCALE_PER_SITE, asc_mode=0):
+    """Static evaluation description from a UTree; returns (topo, branches)."""
+    from ..tree import utree as ut
+
+    trav = ut.traverse(tree.root)
+    ops, branches, pmat_idx = ut.create_operations(trav)
+    schedule = build_level_schedule(ops, tree.tip_count)
+    root = tree.root
+
+    return EvalTopology(
+        schedule=schedule,
+        matrix_indices=np.asarray(pmat_idx, dtype=np.int32),
+        n_pmatrices=len(branches),
+        parent_clv=schedule.clv_map[root.clv_index],
+        child_clv=schedule.clv_map[root.back.clv_index],
+        edge_matrix=root.pmatrix_index,
+        sites=sites,
+        scale_mode=scale_mode,
+        asc_mode=asc_mode,
+    ), np.asarray(branches)
+
+
+def _pmatrices(model, topo, dtype):
+    pmat = compute_pmatrices(
+        model["branch_lengths"], model["rates"], model["prop_invar"],
+        model["params_indices"], model["eigenvals"], model["left"],
+        model["right"], dtype=dtype)
+    pmatrix = jnp.zeros((topo.n_pmatrices,) + pmat.shape[1:],
+                        dtype=pmat.dtype)
+    return pmatrix.at[jnp.asarray(topo.matrix_indices)].set(pmat)
+
+
+def make_forward(topo: EvalTopology):
+    """Build ``forward(model, clv, scalers) -> (logl, persite)``.
+
+    model: dict of traced arrays — branch_lengths [B], rates [C],
+      prop_invar [M], params_indices [C] int32, eigenvals [M,S],
+      left/right [M,S,S], freqs_pc [C,S], prop_invar_pc [C],
+      rate_weights [C], pattern_weights [L], invariant [L] int32.
+    clv: [tips + n_inner, C, S, L] level-major; scalers [n_inner+1, (C,) L].
+    """
+    sweep = make_level_sweep(topo.schedule, topo.scale_mode)
+    per_rate = topo.scale_mode == SCALE_PER_RATE
+    sp = topo.scaler_row(topo.parent_clv)
+    sc = topo.scaler_row(topo.child_clv)
+
+    def forward(model, clv, scalers):
+        pmatrix = _pmatrices(model, topo, clv.dtype)
+        clv, scalers = sweep(clv, scalers, pmatrix)
+        logl, persite = lk_ops.edge_loglikelihood(
+            clv[topo.parent_clv], clv[topo.child_clv],
+            scalers[sp], scalers[sc],
+            pmatrix[topo.edge_matrix], model["freqs_pc"],
+            model["rate_weights"], model["pattern_weights"],
+            model["prop_invar_pc"], model["invariant"], sites=topo.sites,
+            per_rate=per_rate, asc_mode=topo.asc_mode)
+        return logl, persite
+
+    return forward
+
+
+def make_train_step(topo: EvalTopology):
+    """Full "training" step: forward sweep + analytic Newton update of the
+    evaluation edge's branch length (the optimization inner loop of SURVEY
+    §3.3) — everything on device, one compiled program.
+
+    Returns ``step(model, clv, scalers) -> (logl, t_new, clv, scalers)``.
+    """
+    sweep = make_level_sweep(topo.schedule, topo.scale_mode)
+    per_rate = topo.scale_mode == SCALE_PER_RATE
+    sp_row = topo.scaler_row(topo.parent_clv)
+    sc_row = topo.scaler_row(topo.child_clv)
+
+    MIN_T, MAX_T = 1e-8, 100.0
+
+    def step(model, clv, scalers):
+        pmatrix = _pmatrices(model, topo, clv.dtype)
+        clv, scalers = sweep(clv, scalers, pmatrix)
+
+        logl, _ = lk_ops.edge_loglikelihood(
+            clv[topo.parent_clv], clv[topo.child_clv],
+            scalers[sp_row], scalers[sc_row],
+            pmatrix[topo.edge_matrix], model["freqs_pc"],
+            model["rate_weights"], model["pattern_weights"],
+            model["prop_invar_pc"], model["invariant"], sites=topo.sites,
+            per_rate=per_rate, asc_mode=topo.asc_mode)
+
+        # analytic Newton on the evaluation edge (sumtable once, then a
+        # device-resident while_loop; reference examples/newton/newton.c)
+        sp = scalers[sp_row]
+        sc = scalers[sc_row]
+        left_pc = model["left"][model["params_indices"]]
+        right_pc = model["right"][model["params_indices"]]
+        evals_pc = model["eigenvals"][model["params_indices"]]
+        sumtable = deriv_ops.update_sumtable(
+            clv[topo.parent_clv], clv[topo.child_clv], sp, sc,
+            model["freqs_pc"], left_pc, right_pc, per_rate=per_rate)
+
+        zeros_site = jnp.zeros((clv.shape[-1],), dtype=jnp.int32)
+        sp_site = sp if not per_rate else zeros_site
+        sc_site = sc if not per_rate else zeros_site
+
+        t0 = model["branch_lengths"][-1]
+
+        def cond(carry):
+            t, d1, it = carry
+            return (jnp.abs(d1) > 1e-9) & (it < 32)
+
+        def body(carry):
+            t, _, it = carry
+            d1, d2 = deriv_ops.likelihood_derivatives(
+                sumtable, t, model["rates"], model["prop_invar_pc"],
+                evals_pc, model["freqs_pc"], model["rate_weights"],
+                model["invariant"], model["pattern_weights"],
+                sp_site, sc_site, sites=topo.sites, asc_mode=topo.asc_mode)
+            step_ = jnp.where(d2 != 0.0, d1 / d2, d1)
+            t_new = jnp.clip(t - step_, MIN_T, MAX_T)
+            return (t_new, d1, it + 1)
+
+        big = jnp.asarray(jnp.inf, dtype=clv.dtype)
+        t_star, _, _ = jax.lax.while_loop(
+            cond, body, (t0.astype(clv.dtype), big, 0))
+        return logl, t_star, clv, scalers
+
+    return step

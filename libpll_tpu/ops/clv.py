@@ -32,8 +32,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import (SCALE_FACTOR, SCALE_NONE, SCALE_PER_RATE,
-                               SCALE_PER_SITE, SCALE_THRESHOLD)
+from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
+                               scale_shift_bits)
+
+
+def _scale_consts(dtype):
+    """(threshold, factor) = (2**-shift, 2**shift) in the working dtype."""
+    import numpy as np
+
+    shift = scale_shift_bits(dtype)
+    return (np.ldexp(np.ones((), dtype), -shift),
+            np.ldexp(np.ones((), dtype), shift))
 
 
 def _one_partial(pmat_l, clv_l, pmat_r, clv_r, dtype):
@@ -64,6 +73,7 @@ def update_partials(clv, scalers, ops, pmatrix, scale_mode=SCALE_PER_SITE):
       (clv, scalers) updated.
     """
     dtype = clv.dtype
+    thresh, factor = _scale_consts(dtype)
     dummy = scalers.shape[0] - 1 if scale_mode != SCALE_NONE else 0
 
     def body(carry, op):
@@ -77,11 +87,11 @@ def update_partials(clv, scalers, ops, pmatrix, scale_mode=SCALE_PER_SITE):
 
         has_scaler = ps != dummy
         if scale_mode == SCALE_PER_SITE:
-            mask = jnp.all(x < SCALE_THRESHOLD, axis=(0, 1)) & has_scaler  # [L]
-            x = jnp.where(mask[None, None, :], x * SCALE_FACTOR, x)
+            mask = jnp.all(x < thresh, axis=(0, 1)) & has_scaler  # [L]
+            x = jnp.where(mask[None, None, :], x * factor, x)
         else:  # SCALE_PER_RATE
-            mask = jnp.all(x < SCALE_THRESHOLD, axis=1) & has_scaler  # [C, L]
-            x = jnp.where(mask[:, None, :], x * SCALE_FACTOR, x)
+            mask = jnp.all(x < thresh, axis=1) & has_scaler  # [C, L]
+            x = jnp.where(mask[:, None, :], x * factor, x)
 
         new_scaler = scalers[s1] + scalers[s2] + mask.astype(scalers.dtype)
         clv = clv.at[p].set(x)
@@ -101,17 +111,18 @@ def update_partials_leveled(clv, scalers, level_ops, level_valid, pmatrix,
     per level (all ops in a level are independent).
 
     Args:
-      level_ops: int32 [n_levels, width, 8], padded with repeats of a
-        sentinel op writing to the dummy CLV slot (index N-1 must be a
-        scratch buffer — see schedule.py) for lanes where
-        ``level_valid == False``.
-      level_valid: bool [n_levels, width].
+      level_ops: int32 [n_levels, width, 8], padded by repeating ops from the
+        same level (see schedule.py) — duplicate lanes recompute identical
+        values, so concurrent writes agree.
+      level_valid: bool [n_levels, width] (True everywhere with duplicate
+        padding; kept for masking alternative padding schemes).
 
     This is the throughput path: the batched matmul per level has
     ``width × C × S × L`` output elements, which keeps the MXU/VPU busy for
     small trees where the sequential scan would be launch-bound.
     """
     dtype = clv.dtype
+    thresh, factor = _scale_consts(dtype)
     dummy = scalers.shape[0] - 1 if scale_mode != SCALE_NONE else 0
 
     def one_op(clv, scalers, op, valid):
@@ -121,11 +132,11 @@ def update_partials_leveled(clv, scalers, level_ops, level_valid, pmatrix,
             return p, x, ps, None
         has_scaler = (ps != dummy) & valid
         if scale_mode == SCALE_PER_SITE:
-            mask = jnp.all(x < SCALE_THRESHOLD, axis=(0, 1)) & has_scaler
-            x = jnp.where(mask[None, None, :], x * SCALE_FACTOR, x)
+            mask = jnp.all(x < thresh, axis=(0, 1)) & has_scaler
+            x = jnp.where(mask[None, None, :], x * factor, x)
         else:
-            mask = jnp.all(x < SCALE_THRESHOLD, axis=1) & has_scaler
-            x = jnp.where(mask[:, None, :], x * SCALE_FACTOR, x)
+            mask = jnp.all(x < thresh, axis=1) & has_scaler
+            x = jnp.where(mask[:, None, :], x * factor, x)
         new_scaler = scalers[s1] + scalers[s2] + mask.astype(scalers.dtype)
         return p, x, ps, new_scaler
 

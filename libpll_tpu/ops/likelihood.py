@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import (SCALE_RATE_MAXDIFF, SCALE_THRESHOLD)
+from ..utils.constants import SCALE_RATE_MAXDIFF, scale_shift_bits
 
 # asc-bias modes (host-level enum; ASC_NONE must be falsy)
 ASC_NONE = 0
@@ -38,18 +38,20 @@ ASC_FELSENSTEIN = 2
 ASC_STAMATAKIS = 3
 
 def _log_scale_threshold(dtype):
-    # log(2**-256) in the working dtype
-    return jnp.asarray(-256.0, dtype) * jnp.log(jnp.asarray(2.0, dtype))
+    # log(2**-shift) in the working dtype (shift: 256 for f64, 64 for f32)
+    shift = scale_shift_bits(dtype)
+    return jnp.asarray(-float(shift), dtype) * jnp.log(jnp.asarray(2.0, dtype))
 
 
 def scale_pow(scal, dtype):
-    """Exact 2**(-256·scal) for integer scaler counts.
+    """Exact 2**(-shift·scal) for integer scaler counts.
 
-    Uses ldexp so results match C ``pow(2**-256, n)`` bit-for-bit, including
-    gradual underflow to subnormals and zero (jnp.power mis-handles tiny
-    bases on some backends).
+    Uses ldexp so results match C ``pow(2**-256, n)`` bit-for-bit in f64,
+    including gradual underflow to subnormals and zero (jnp.power mis-handles
+    tiny bases on some backends).
     """
-    return jnp.ldexp(jnp.ones(scal.shape, dtype), -256 * scal)
+    shift = scale_shift_bits(dtype)
+    return jnp.ldexp(jnp.ones(scal.shape, dtype), -shift * scal)
 
 
 def _fold_rate_scalers(scalers):

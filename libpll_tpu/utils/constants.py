@@ -38,3 +38,16 @@ SCALE_BUFFER_NONE = -1
 SCALE_NONE = 0
 SCALE_PER_SITE = 1
 SCALE_PER_RATE = 2
+
+
+def scale_shift_bits(dtype) -> int:
+    """Exponent shift of one scaling event for the working dtype.
+
+    float64 uses the reference's 2**256 (pll.h:89); float32 has only 8
+    exponent bits, so the fast path rescales by 2**64 instead — the counter
+    semantics are identical, only the unit differs, and the fold-back uses
+    the matching log factor.
+    """
+    import numpy as np
+
+    return 256 if np.dtype(dtype).itemsize == 8 else 64

@@ -1,0 +1,107 @@
+"""Level-parallel sweep equivalence and multi-device site sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import libpll_tpu as pll
+from libpll_tpu.io import maps
+from libpll_tpu.models.gamma import compute_gamma_cats
+from libpll_tpu.ops import clv as clv_ops
+from libpll_tpu.parallel import mesh as pmesh
+from libpll_tpu.tree import schedule as sched
+from libpll_tpu.tree import utree as ut
+
+RNG = np.random.default_rng(3)
+
+
+def _random_tree_newick(n_tips):
+    """Random binary topology over taxa t0..t{n-1} with random lengths."""
+    items = [f"t{i}:{RNG.uniform(0.05, 0.5):.4f}" for i in range(n_tips)]
+    while len(items) > 3:
+        i, j = sorted(RNG.choice(len(items), 2, replace=False))
+        b = items.pop(j)
+        a = items.pop(i)
+        items.append(f"({a},{b}):{RNG.uniform(0.05, 0.5):.4f}")
+    return f"({items[0]},{items[1]},{items[2]});"
+
+
+def _build_partition(n_tips, sites, rate_cats=4, dtype=jnp.float64,
+                     scaling="site"):
+    tree = ut.parse_newick_string(_random_tree_newick(n_tips))
+    trav = ut.traverse(tree.root)
+    ops, branches, pmat_idx = ut.create_operations(trav)
+    part = pll.Partition(n_tips, n_tips - 2, 4, sites, 1,
+                         len(branches), rate_cats, n_tips - 2,
+                         scaling=scaling, dtype=dtype)
+    params = RNG.uniform(0.5, 2.0, 6)
+    freqs = RNG.uniform(0.1, 1.0, 4)
+    freqs /= freqs.sum()
+    part.set_frequencies(0, freqs)
+    part.set_subst_params(0, params)
+    part.set_category_rates(compute_gamma_cats(1.0, rate_cats))
+    for node in tree.nodes[:n_tips]:
+        part.set_tip_states(node.clv_index, maps.pll_map_nt,
+                            "".join(RNG.choice(list("ACGT"), sites)))
+    pidx = np.zeros(rate_cats, int)
+    part.update_prob_matrices(pidx, pmat_idx, branches)
+    return tree, part, ops, pidx
+
+
+def test_leveled_sweep_matches_sequential():
+    tree, part, ops, pidx = _build_partition(16, 37)
+    # sequential (kernels donate their buffers, so pass copies)
+    clv_seq, scal_seq = clv_ops.update_partials(
+        jnp.array(part.clv), jnp.array(part.scalers), jnp.asarray(
+            pll.engine.partition.operations_to_array(ops,
+                                                     part.scale_buffers)),
+        part.pmatrix, scale_mode=part.scale_mode)
+    # leveled
+    level_ops, level_valid = sched.build_levels(ops, part.scale_buffers)
+    clv_lev, scal_lev = clv_ops.update_partials_leveled(
+        jnp.array(part.clv), jnp.array(part.scalers), jnp.asarray(level_ops),
+        jnp.asarray(level_valid), part.pmatrix, scale_mode=part.scale_mode)
+    np.testing.assert_allclose(np.asarray(clv_lev), np.asarray(clv_seq),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(scal_lev), np.asarray(scal_seq))
+
+
+def test_levels_respect_dependencies():
+    tree = ut.parse_newick_string(_random_tree_newick(24))
+    ops, _, _ = ut.create_operations(ut.traverse(tree.root))
+    level_ops, valid = sched.build_levels(ops, 22)
+    available = set(range(24))
+    for lvl in range(level_ops.shape[0]):
+        produced = set()
+        for row in level_ops[lvl]:
+            assert int(row[2]) in available
+            assert int(row[5]) in available
+            produced.add(int(row[0]))
+        available |= produced
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_site_sharded_loglikelihood_matches_single_device():
+    n_dev = len(jax.devices())
+    sites = pmesh.pad_sites(100, pmesh.make_sites_mesh())
+    tree, part, ops, pidx = _build_partition(12, sites)
+    root = tree.root
+    part.update_partials(ops)
+    want = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, pidx)
+
+    # fresh partition, sharded across the mesh before any compute
+    tree2, part2, ops2, _ = _build_partition(12, sites)
+    # rebuild identically (same RNG would diverge) -> instead shard the same
+    # partition's buffers and recompute
+    mesh = pmesh.make_sites_mesh()
+    pmesh.shard_partition(part, mesh)
+    part.update_partials(ops)
+    got = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, pidx)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # the CLV really is distributed
+    assert len(part.clv.sharding.device_set) == n_dev
