@@ -258,3 +258,22 @@ def unroot(rtree: RTree) -> UTree:
 
     _ureset(uroot, rtree.tip_count)
     return wraptree(uroot, rtree.tip_count)
+
+
+def create_pars_buildops(trav_buffer: List[RNode]):
+    """reference pll_rtree_create_pars_buildops (rtree.c:458-481)."""
+    return [(n.clv_index, n.left.clv_index, n.right.clv_index)
+            for n in trav_buffer if not n.is_tip]
+
+
+def create_pars_recops(trav_buffer: List[RNode]):
+    """Pre-order (node, parent) score-index pairs for ancestral
+    reconstruction (reference pll_rtree_create_pars_recops,
+    rtree.c:483-520); the root points at itself."""
+    ops = []
+    for n in trav_buffer:
+        if n.is_tip:
+            continue
+        parent = n.parent.clv_index if n.parent is not None else n.clv_index
+        ops.append((n.clv_index, parent))
+    return ops

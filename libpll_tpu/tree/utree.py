@@ -453,3 +453,10 @@ def show_ascii(root: UNode, out=None) -> str:
     if out is not None:
         out.write(text + "\n")
     return text
+
+
+def create_pars_buildops(trav_buffer: List[UNode]):
+    """(parent, child1, child2) score-index triplets for Fitch/Sankoff
+    (reference `pll_utree_create_pars_buildops`, utree.c:740-763)."""
+    return [(n.clv_index, n.next.back.clv_index, n.next.next.back.clv_index)
+            for n in trav_buffer if not n.is_tip]
