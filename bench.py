@@ -9,8 +9,13 @@ baseline denominator is libpll's AVX2 single-core path measured on the host
 CPU of this environment (see BASELINE.md): 100.9e6 site-rate updates/s at
 64 taxa × 50k sites × 4 rate categories, DNA, per-site scaling.
 
-The TPU run uses the float32 fast path (2**64-unit scaling counters), 64
-taxa × 4 Gamma categories and a site count sized to the chip's HBM.
+The TPU run uses the fused Pallas sweep (float32 fast path, 2**64-unit
+scaling counters), 64 taxa × 4 Γ-categories × 256k sites.
+
+Timing methodology: on this platform `block_until_ready` does not reliably
+fence device work, so each measurement jits a chain of K data-dependent
+sweeps ending in a scalar readback and reports (t_K − t_1)/(K − 1), which
+also cancels the host→device readback latency.
 """
 
 import json
@@ -25,36 +30,48 @@ BASELINE_CLV_UPDATES_PER_SEC = 100.9e6
 TIPS = 64
 SITES = 262144
 RATE_CATS = 4
-REPS = 10
+STATES = 4
+CHAIN = 9
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _build_flagship
     from libpll_tpu.engine.evaluate import _pmatrices
-    from libpll_tpu.ops.sweep import make_level_sweep
+    from libpll_tpu.ops import clv_pallas as cp
 
     topo, model, clv, scalers = _build_flagship(TIPS, SITES,
                                                 rate_cats=RATE_CATS)
     pmatrix = _pmatrices(model, topo, clv.dtype)
+    sweep = cp.make_fused_sweep(topo.schedule, topo.scale_mode,
+                                rate_cats=RATE_CATS, states=STATES)
+    tips_packed = jax.jit(lambda x: cp.pack_tips(x, "vpu"))(clv[:TIPS])
 
-    sweep = jax.jit(make_level_sweep(topo.schedule, topo.scale_mode),
-                    donate_argnums=(0, 1))
+    def chain(k):
+        @jax.jit
+        def f(tp, pmat):
+            inner = None
+            for _ in range(k):
+                inner, _ = sweep(tp, pmat)
+                tp = tp + inner[0, 0, 0] * 1e-30  # serialize iterations
+            return inner[-1, 0, 0]
+        return f
 
-    # warmup/compile; chain outputs back as inputs (buffers are donated)
-    bufs = sweep(clv, scalers, pmatrix)
-    # force completion: a tiny readback that depends on the whole sweep
-    float(bufs[0][-1].sum())
+    def timeit(f, reps=5):
+        float(f(tips_packed, pmatrix))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(tips_packed, pmatrix))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        bufs = sweep(bufs[0], bufs[1], pmatrix)
-    float(bufs[0][-1].sum())
-    dt = (time.perf_counter() - t0) / REPS
+    t1 = timeit(chain(1))
+    tk = timeit(chain(CHAIN))
+    dt = (tk - t1) / (CHAIN - 1)
 
-    n_ops = (TIPS - 2)
+    n_ops = TIPS - 2
     updates = n_ops * SITES * RATE_CATS
     rate = updates / dt
     print(json.dumps({
@@ -63,8 +80,9 @@ def main() -> None:
         "unit": "site-rate-node updates/s",
         "vs_baseline": rate / BASELINE_CLV_UPDATES_PER_SEC,
     }))
-    print(f"# sweep {dt*1e3:.2f} ms for {n_ops} ops x {SITES} sites x "
-          f"{RATE_CATS} rates ({TIPS} taxa, float32)", file=sys.stderr)
+    print(f"# fused sweep {dt*1e3:.2f} ms for {n_ops} ops x {SITES} sites x "
+          f"{RATE_CATS} rates ({TIPS} taxa, float32 vpu kernel)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,11 @@ this package enables jax x64 support. Performance paths use explicit float32.
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# True-IEEE matmul accumulation: XLA's "default" f32 matmul precision uses
+# bf16 passes (~2e-3 relative error) — unacceptable for a likelihood engine
+# whose f32 fast path claims f32 accuracy. Hot kernels that deliberately
+# trade precision override this per-call.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 from .engine.partition import (ASC_FELSENSTEIN, ASC_LEWIS, ASC_NONE,
                                ASC_STAMATAKIS, Operation, Partition)

@@ -116,6 +116,49 @@ def make_forward(topo: EvalTopology):
     return forward
 
 
+def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
+                       impl: str = "auto", interpret: bool = False):
+    """Fused-Pallas forward: P-matrices → fused VMEM-resident pruning sweep
+    → edge log-likelihood, one compiled program (the TPU fast path).
+
+    Returns ``forward(model, tips_packed) -> (logl, persite, inner, scalers)``
+    where ``tips_packed`` is :func:`libpll_tpu.ops.clv_pallas.pack_tips`
+    applied once to the [tips, C, S, L] tip CLVs (tips are constant after
+    setup).  ``inner`` is returned in the packed layout for reuse
+    (derivatives, partial re-evaluation).
+    """
+    from ..ops import clv_pallas as cp
+
+    sweep = cp.make_fused_sweep(topo.schedule, topo.scale_mode, impl=impl,
+                                rate_cats=rate_cats, states=states,
+                                interpret=interpret)
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+    per_rate = topo.scale_mode == SCALE_PER_RATE
+    tips = topo.schedule.tips
+    sp = topo.scaler_row(topo.parent_clv)
+    sc = topo.scaler_row(topo.child_clv)
+
+    def row(tips_packed, inner, idx):
+        packed = (tips_packed[idx] if idx < tips else inner[idx - tips])
+        return cp.unpack_clv(packed, rate_cats, states, impl)
+
+    def forward(model, tips_packed):
+        pmatrix = _pmatrices(model, topo, tips_packed.dtype)
+        inner, scalers = sweep(tips_packed, pmatrix)
+        logl, persite = lk_ops.edge_loglikelihood(
+            row(tips_packed, inner, topo.parent_clv),
+            row(tips_packed, inner, topo.child_clv),
+            scalers[sp], scalers[sc],
+            pmatrix[topo.edge_matrix], model["freqs_pc"],
+            model["rate_weights"], model["pattern_weights"],
+            model["prop_invar_pc"], model["invariant"], sites=topo.sites,
+            per_rate=per_rate, asc_mode=topo.asc_mode)
+        return logl, persite, inner, scalers
+
+    return forward
+
+
 def make_train_step(topo: EvalTopology):
     """Full "training" step: forward sweep + analytic Newton update of the
     evaluation edge's branch length (the optimization inner loop of SURVEY

@@ -48,9 +48,9 @@ def _scale_consts(dtype):
 def _one_partial(pmat_l, clv_l, pmat_r, clv_r, dtype):
     """[C,S,S] @ [C,S,L] twice, multiplied elementwise -> [C,S,L]."""
     left = jnp.einsum("cij,cjn->cin", pmat_l, clv_l,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision="highest")
     right = jnp.einsum("cij,cjn->cin", pmat_r, clv_r,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype, precision="highest")
     return left * right
 
 

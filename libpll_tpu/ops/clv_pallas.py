@@ -1,0 +1,280 @@
+"""Fused Pallas pruning-sweep kernel — the TPU fast path for CLV updates.
+
+Same math and scaling semantics as :func:`libpll_tpu.ops.sweep.make_level_sweep`
+(which remains the in-tree reference implementation, mirroring libpll's
+generic-vs-SIMD kernel duality; reference inner loop:
+`src/core_partials.c:607-663`, SIMD variants `src/core_partials_avx2.c`),
+restructured around the TPU memory hierarchy:
+
+  * the grid runs over **site blocks**; for each block the *entire tree's*
+    CLV working set lives in VMEM — tip CLVs stream in once, inner CLVs
+    stream out once, and every intermediate parent/child handoff happens
+    on-chip.  HBM traffic per (site,rate,node) update drops to
+    ~1 write + amortized tip read (~32 B at f32/DNA), versus 3+ full
+    streams for the gather/scatter XLA formulation;
+  * the per-rate `[S,S] @ [S,block]` contractions of one node are fused
+    into a single `[C·S, C·S] @ [C·S, block]` matmul against a
+    block-diagonal P-matrix, putting sites on the MXU lane axis;
+  * the post-order schedule is static (baked at trace time as an unrolled
+    op list), so there is no dynamic control flow anywhere in the kernel.
+
+Numerical scaling matches the reference exactly: when every entry of a
+site's span falls below 2**-shift the span is multiplied by 2**shift and the
+per-site exponent counter is incremented; a parent's counter starts as the
+sum of its children's (`fill_parent_scaler`, `core_partials.c:24-46`).
+Counter bookkeeping mirrors ops/sweep.py row-for-row so outputs are
+bit-comparable between the two paths.
+
+Supported configuration: per-site or no scaling (per-rate scaling stays on
+the XLA path), any states/rate_cats, sites divisible by the block size.
+``fused_sweep_supported`` reports applicability; callers fall back to the
+XLA sweep otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import SCALE_NONE, SCALE_PER_SITE
+from .clv import _scale_consts
+from .sweep import LevelSchedule
+
+# Leave headroom below the ~16 MB/core VMEM for double-buffered pipelining.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _flatten_ops(schedule: LevelSchedule):
+    """Static (inner_row, c1, m1, c2, m2, s1, s2, has_scaler) tuples in
+    post-order (level order); children always precede parents."""
+    tips = schedule.tips
+    ops = []
+    for lev in schedule.levels:
+        for k in range(len(lev.child1)):
+            ops.append((
+                lev.offset + k - tips,
+                int(lev.child1[k]), int(lev.matrix1[k]),
+                int(lev.child2[k]), int(lev.matrix2[k]),
+                int(lev.scaler1[k]), int(lev.scaler2[k]),
+                bool(lev.has_scaler[k]),
+            ))
+    return ops
+
+
+def _pick_block_sites(n_nodes: int, cs: int, sites: int, itemsize: int,
+                      n_scaler_rows: int) -> Optional[int]:
+    """Largest 128-multiple block that fits the working set in VMEM and
+    divides the site count; None if no such block exists."""
+    best = None
+    bl = 128
+    while True:
+        # in+out CLV slabs and the scaler slab, all double-buffered
+        need = 2 * (n_nodes * cs * bl * itemsize + n_scaler_rows * bl * 4)
+        if need > _VMEM_BUDGET:
+            break
+        if sites % bl == 0:
+            best = bl
+        bl += 128
+    return best
+
+
+def block_diag_pmatrices(pmatrix: jax.Array) -> jax.Array:
+    """[M, C, S, S] per-rate transition matrices -> [M, C*S, C*S]
+    block-diagonal, so one matmul applies all rate categories at once."""
+    m, c, s, _ = pmatrix.shape
+    eye = jnp.eye(c, dtype=pmatrix.dtype)
+    out = jnp.einsum("mcij,cd->mcidj", pmatrix, eye)
+    return out.reshape(m, c * s, c * s)
+
+
+def roll_coeff_pmatrices(pmatrix: jax.Array) -> jax.Array:
+    """[M, C, S, S] -> [M, S, S*C, 1] coefficient tables for the VPU-roll
+    contraction in *state-major* row layout (row = s*C + c):
+
+        out[s*C + c] = sum_d  A[d, s*C + c] * roll(clv, -d*C)[s*C + c]
+        A[d, s*C + c] = P[c, s, (s + d) % S]
+
+    A cyclic sublane roll by d*C aligns child state (s+d)%S with parent
+    state s in every rate lane simultaneously — the [S,S] contraction
+    becomes S fused multiply-adds on full [S*C, block] tiles (pure VPU,
+    no MXU small-matmul overhead)."""
+    m, c, s, _ = pmatrix.shape
+    pm = jnp.transpose(pmatrix, (0, 2, 3, 1))  # [M, S(parent), S(child), C]
+    si = np.arange(s)
+    gather = (si[None, :] + si[:, None]) % s  # [d, s] -> child state
+    a = pm[:, si[None, :], gather, :]  # [M, d, s, C]
+    return a.reshape(m, s, s * c, 1)
+
+
+def pack_tips(tips_clv: jax.Array, impl: str) -> jax.Array:
+    """[tips, C, S, L] -> [tips, C*S, L] in the row layout of ``impl``
+    (rate-major for "mxu", state-major for "vpu").  Tips are constant after
+    partition setup, so this runs once, not per sweep."""
+    t, c, s, sites = tips_clv.shape
+    if impl == "vpu":
+        tips_clv = jnp.transpose(tips_clv, (0, 2, 1, 3))  # [tips, S, C, L]
+    return tips_clv.reshape(t, c * s, sites)
+
+
+def unpack_clv(packed: jax.Array, rate_cats: int, states: int,
+               impl: str) -> jax.Array:
+    """Inverse of the packing for inner-CLV outputs: [..., C*S, L] ->
+    [..., C, S, L]."""
+    lead = packed.shape[:-2]
+    sites = packed.shape[-1]
+    if impl == "vpu":
+        x = packed.reshape(*lead, states, rate_cats, sites)
+        perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                          len(lead) + 2)
+        return jnp.transpose(x, perm)
+    return packed.reshape(*lead, rate_cats, states, sites)
+
+
+def fused_sweep_supported(schedule: LevelSchedule, scale_mode: int,
+                          rate_cats: int, states: int, sites: int,
+                          itemsize: int = 4) -> bool:
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+        return False
+    n_nodes = schedule.tips + schedule.n_inner
+    bl = _pick_block_sites(n_nodes, rate_cats * states, sites, itemsize,
+                           schedule.n_inner + 1)
+    return bl is not None
+
+
+def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
+                     *, impl: str = "auto", rate_cats: int, states: int,
+                     block_sites: Optional[int] = None,
+                     interpret: bool = False):
+    """Build ``sweep(tips_packed, pmatrix) -> (inner_packed, scalers)``.
+
+    tips_packed: [tips, C*S, L] from :func:`pack_tips` (constant after
+    setup — tips are pure inputs).  pmatrix: [M, C, S, S].
+    Returns inner CLVs [n_inner, C*S, L] in the same packed layout (see
+    :func:`unpack_clv`) and per-site scalers [n_inner + 1, L] int32 (last
+    row the always-zero dummy), matching the level-major row convention of
+    ops/sweep.py.
+
+    impl="mxu": block-diagonal [C·S, C·S] matmul per child (bit-identical
+    accumulation to the XLA einsum path).  impl="vpu": S cyclic sublane
+    rolls + FMAs in state-major layout — faster for small state counts
+    where a K=C·S matmul underutilizes the MXU.  "auto" picks vpu for
+    DNA-sized states, mxu otherwise.
+    """
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+        raise ValueError("fused sweep supports per-site or no scaling only")
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+    if impl not in ("mxu", "vpu"):
+        raise ValueError(f"unknown impl {impl!r}")
+
+    tips, n_inner = schedule.tips, schedule.n_inner
+    dummy = n_inner
+    ops = _flatten_ops(schedule)
+    cs = rate_cats * states
+
+    def sweep(tips_packed, pmatrix):
+        _, cs_in, sites = tips_packed.shape
+        assert cs_in == cs, (cs_in, cs)
+        dtype = tips_packed.dtype
+        thresh, factor = _scale_consts(dtype)
+        itemsize = np.dtype(dtype).itemsize
+
+        bl = block_sites or _pick_block_sites(
+            tips + n_inner, cs, sites, itemsize, n_inner + 1)
+        if bl is None or sites % bl != 0:
+            raise ValueError(
+                f"no viable site block for {tips + n_inner} nodes x {cs} "
+                f"x {sites} sites; use the XLA sweep")
+
+        if impl == "mxu":
+            coeff = block_diag_pmatrices(pmatrix)
+            coeff_block = coeff.shape
+        else:
+            coeff = roll_coeff_pmatrices(pmatrix)
+            coeff_block = coeff.shape
+        n_blocks = sites // bl
+
+        def contract_mxu(coeff_ref, m, x):
+            return jnp.dot(coeff_ref[m], x, preferred_element_type=dtype)
+
+        def contract_vpu(coeff_ref, m, x):
+            acc = coeff_ref[m, 0] * x
+            for d in range(1, states):
+                shift = np.int32((cs - d * rate_cats) % cs)
+                acc = acc + coeff_ref[m, d] * pltpu.roll(x, shift, 0)
+            return acc
+
+        contract = contract_mxu if impl == "mxu" else contract_vpu
+
+        def kernel(tips_ref, coeff_ref, inner_ref, scaler_ref):
+            def child(idx):
+                return (tips_ref[idx] if idx < tips
+                        else inner_ref[idx - tips])
+
+            def scaler_rows(row):
+                if row == dummy:
+                    return jnp.zeros((1, bl), jnp.int32)
+                return scaler_ref[row:row + 1, :]
+
+            scaler_ref[dummy:dummy + 1, :] = jnp.zeros((1, bl), jnp.int32)
+            for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
+                x = (contract(coeff_ref, m1, child(c1))
+                     * contract(coeff_ref, m2, child(c2)))
+                cnt = scaler_rows(s1) + scaler_rows(s2)
+                if scale_mode == SCALE_PER_SITE and has:
+                    # all(x < t) == max(x) < t, as a native f32 reduction
+                    # (Mosaic cannot lower the bool all-reduce)
+                    mask = jnp.max(x, axis=0, keepdims=True) < thresh
+                    x = jnp.where(mask, x * factor, x)
+                    cnt = cnt + mask.astype(jnp.int32)
+                inner_ref[prow] = x
+                scaler_ref[prow:prow + 1, :] = cnt
+
+        flops = 2 * len(ops) * 2 * cs * cs * sites
+        bytes_accessed = ((tips + n_inner) * cs * sites * itemsize
+                          + (n_inner + 1) * sites * 4)
+
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))
+        except TypeError:  # pragma: no cover - older/newer JAX field names
+            compiler_params = None
+
+        # int32 constants in index maps: Mosaic rejects the i64 literals that
+        # Python ints become under jax_enable_x64
+        z = np.int32(0)
+        nd = len(coeff_block)
+        inner2d, scalers = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(coeff_block, lambda j: (z,) * nd,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_inner, cs, bl), lambda j: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_inner + 1, bl), lambda j: (z, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_inner, cs, sites), dtype),
+                jax.ShapeDtypeStruct((n_inner + 1, sites), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=bytes_accessed,
+                transcendentals=0),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(tips_packed, coeff)
+
+        return inner2d, scalers
+
+    return sweep

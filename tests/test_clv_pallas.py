@@ -1,0 +1,185 @@
+"""Parity tests for the fused Pallas sweep (ops/clv_pallas.py) against the
+XLA level sweep — the rebuild's analog of libpll's generic-vs-SIMD kernel
+cross-validation (`test/runtest.py:43-52` runs every test under all arches
+against one golden file).
+
+Run in Pallas interpreter mode on the CPU test mesh; the compiled TPU path
+is exercised by bench.py / the driver's graft entry.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libpll_tpu.engine.evaluate import _pmatrices, topology_from_tree
+from libpll_tpu.models.gamma import compute_gamma_cats
+from libpll_tpu.models.gtr import eigen_decompose
+from libpll_tpu.ops import clv_pallas as cp
+from libpll_tpu.ops.sweep import make_level_sweep
+from libpll_tpu.tree import utree as ut
+from libpll_tpu.utils.constants import SCALE_NONE, SCALE_PER_SITE
+
+
+def _random_tree_newick(tips, rng):
+    items = [f"t{i}:{rng.uniform(0.05, 0.5):.4f}" for i in range(tips)]
+    while len(items) > 3:
+        i, j = sorted(rng.choice(len(items), 2, replace=False))
+        b = items.pop(j)
+        a = items.pop(i)
+        items.append(f"({a},{b}):{rng.uniform(0.05, 0.5):.4f}")
+    return f"({items[0]},{items[1]},{items[2]});"
+
+
+def _caterpillar_newick(tips):
+    s = "(t0:0.1,t1:0.1)"
+    for i in range(2, tips - 2):
+        s = f"({s}:0.1,t{i}:0.1)"
+    return f"({s}:0.1,t{tips - 2}:0.1,t{tips - 1}:0.1);"
+
+
+def _setup(newick, sites, rate_cats, states, scale_mode, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    tree = ut.parse_newick_string(newick)
+    tips = tree.tip_count
+    topo, branches = topology_from_tree(tree, sites, scale_mode=scale_mode)
+
+    n_params = states * (states - 1) // 2
+    params = rng.uniform(0.5, 2.0, n_params)
+    freqs = rng.uniform(0.1, 1.0, states)
+    freqs /= freqs.sum()
+    w, left, right = eigen_decompose(params, freqs)
+    rates = compute_gamma_cats(1.0, rate_cats)
+    model = {
+        "branch_lengths": jnp.asarray(branches, dtype),
+        "rates": jnp.asarray(rates, dtype),
+        "prop_invar": jnp.zeros((1,), dtype),
+        "params_indices": jnp.zeros(rate_cats, np.int32),
+        "eigenvals": jnp.asarray(w[None], dtype),
+        "left": jnp.asarray(left[None], dtype),
+        "right": jnp.asarray(right[None], dtype),
+    }
+    pmatrix = _pmatrices(model, topo, dtype)
+
+    nodes = 2 * tips - 2
+    clv = np.zeros((nodes, rate_cats, states, sites), dtype)
+    st = rng.integers(0, states, (tips, sites))
+    clv[:tips] = np.eye(states, dtype=dtype)[st].transpose(0, 2, 1)[:, None]
+    clv = jnp.asarray(clv)
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, sites), jnp.int32)
+    return topo, pmatrix, clv, scalers
+
+
+@pytest.mark.parametrize("impl", ["mxu", "vpu"])
+@pytest.mark.parametrize("scale_mode", [SCALE_PER_SITE, SCALE_NONE])
+def test_fused_sweep_matches_xla(impl, scale_mode):
+    rng = np.random.default_rng(3)
+    topo, pmatrix, clv, scalers = _setup(
+        _random_tree_newick(16, rng), 256, 4, 4, scale_mode, jnp.float32)
+    tips = topo.schedule.tips
+
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, scale_mode)(
+        clv, scalers, pmatrix)
+
+    sweep = cp.make_fused_sweep(topo.schedule, scale_mode, impl=impl,
+                                rate_cats=4, states=4, block_sites=128,
+                                interpret=True)
+    inner, scal = sweep(cp.pack_tips(clv[:tips], impl), pmatrix)
+    got = cp.unpack_clv(inner, 4, 4, impl)
+
+    if impl == "mxu":
+        # identical contraction order -> bit-exact
+        assert jnp.array_equal(clv_ref[tips:], got)
+    else:
+        ref = np.asarray(clv_ref[tips:])
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-6,
+                                   atol=float(np.abs(ref).max()) * 1e-6)
+    if scale_mode != SCALE_NONE:
+        assert jnp.array_equal(scal_ref, scal)
+
+
+def test_fused_sweep_scaling_events_exact():
+    """Deep caterpillar in f32 (2**-64 threshold) forces many scaling
+    events; counters must agree exactly with the XLA path."""
+    topo, pmatrix, clv, scalers = _setup(
+        _caterpillar_newick(96), 128, 4, 4, SCALE_PER_SITE, jnp.float32,
+        seed=1)
+    tips = topo.schedule.tips
+
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, SCALE_PER_SITE)(
+        clv, scalers, pmatrix)
+    assert int(np.asarray(scal_ref)[:-1].sum()) > 1000  # scaling did fire
+
+    sweep = cp.make_fused_sweep(topo.schedule, SCALE_PER_SITE, impl="mxu",
+                                rate_cats=4, states=4, block_sites=128,
+                                interpret=True)
+    inner, scal = sweep(cp.pack_tips(clv[:tips], "mxu"), pmatrix)
+    assert jnp.array_equal(clv_ref[tips:], cp.unpack_clv(inner, 4, 4, "mxu"))
+    assert jnp.array_equal(scal_ref, scal)
+
+
+def test_fused_sweep_protein_states():
+    """20-state (protein-sized) partitions go through the MXU block-diag
+    path with C*S = 80 rows."""
+    rng = np.random.default_rng(5)
+    topo, pmatrix, clv, scalers = _setup(
+        _random_tree_newick(8, rng), 128, 4, 20, SCALE_PER_SITE,
+        jnp.float32, seed=5)
+    tips = topo.schedule.tips
+
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, SCALE_PER_SITE)(
+        clv, scalers, pmatrix)
+    sweep = cp.make_fused_sweep(topo.schedule, SCALE_PER_SITE, impl="auto",
+                                rate_cats=4, states=20, block_sites=128,
+                                interpret=True)
+    inner, scal = sweep(cp.pack_tips(clv[:tips], "mxu"), pmatrix)
+    assert jnp.array_equal(clv_ref[tips:], cp.unpack_clv(inner, 4, 20, "mxu"))
+    assert jnp.array_equal(scal_ref, scal)
+
+
+def test_fused_forward_logl_matches():
+    """End-to-end: fused forward logL == XLA forward logL."""
+    from libpll_tpu.engine.evaluate import make_forward, make_forward_fused
+
+    rng = np.random.default_rng(7)
+    sites, rate_cats, states = 256, 4, 4
+    tree = ut.parse_newick_string(_random_tree_newick(12, rng))
+    tips = tree.tip_count
+    topo, branches = topology_from_tree(tree, sites,
+                                        scale_mode=SCALE_PER_SITE)
+
+    params = rng.uniform(0.5, 2.0, 6)
+    freqs = rng.uniform(0.1, 1.0, 4)
+    freqs /= freqs.sum()
+    w, left, right = eigen_decompose(params, freqs)
+    rates = compute_gamma_cats(1.0, rate_cats)
+    dtype = jnp.float32
+    model = {
+        "branch_lengths": jnp.asarray(branches, dtype),
+        "rates": jnp.asarray(rates, dtype),
+        "prop_invar": jnp.zeros((1,), dtype),
+        "params_indices": jnp.zeros(rate_cats, np.int32),
+        "eigenvals": jnp.asarray(w[None], dtype),
+        "left": jnp.asarray(left[None], dtype),
+        "right": jnp.asarray(right[None], dtype),
+        "freqs_pc": jnp.asarray(np.broadcast_to(freqs, (rate_cats, 4)),
+                                dtype),
+        "prop_invar_pc": jnp.zeros((rate_cats,), dtype),
+        "rate_weights": jnp.full((rate_cats,), 1.0 / rate_cats, dtype),
+        "pattern_weights": jnp.ones((sites,), dtype),
+        "invariant": jnp.full((sites,), -1, jnp.int32),
+    }
+
+    nodes = 2 * tips - 2
+    clv = np.zeros((nodes, rate_cats, 4, sites), np.float32)
+    st = rng.integers(0, 4, (tips, sites))
+    clv[:tips] = np.eye(4, dtype=np.float32)[st].transpose(0, 2, 1)[:, None]
+    clv = jnp.asarray(clv)
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, sites), jnp.int32)
+
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+    fwd = make_forward_fused(topo, rate_cats, 4, impl="mxu", interpret=True)
+    logl, _, _, _ = fwd(model, cp.pack_tips(clv[:tips], "mxu"))
+    assert np.isfinite(float(logl))
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=1e-6)
