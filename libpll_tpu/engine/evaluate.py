@@ -159,6 +159,38 @@ def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
     return forward
 
 
+def make_score(topo: EvalTopology, rate_cats: int, states: int,
+               impl: str = "auto", interpret: bool = False):
+    """Tree-search scoring fast path: P-matrices → fused in-VMEM sweep with
+    the edge log-likelihood folded into the kernel (inner CLVs never touch
+    HBM).  Scope: per-site/no scaling, no prop-invar, no asc-bias — the
+    standard GTR(+Γ) search configuration; callers needing more use
+    :func:`make_forward` / :func:`make_forward_fused`.
+
+    Returns ``score(model, tips_packed) -> logl``.
+    """
+    from ..ops import clv_pallas as cp
+
+    if topo.asc_mode:
+        raise ValueError("fused score does not support asc-bias")
+    score_kernel = cp.make_fused_edge_score(
+        topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
+        interpret=interpret)
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+
+    def score(model, tips_packed):
+        dtype = tips_packed.dtype
+        pmatrix = _pmatrices(model, topo, dtype)
+        wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
+                                  model["rate_weights"].astype(dtype), impl)
+        pw = model["pattern_weights"].astype(dtype)[None, :]
+        return score_kernel(tips_packed, pmatrix, wvec, pw)
+
+    return score
+
+
 def make_train_step(topo: EvalTopology):
     """Full "training" step: forward sweep + analytic Newton update of the
     evaluation edge's branch length (the optimization inner loop of SURVEY

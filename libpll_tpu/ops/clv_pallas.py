@@ -41,7 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.constants import SCALE_NONE, SCALE_PER_SITE
+from ..utils.constants import (SCALE_NONE, SCALE_PER_SITE,
+                               scale_shift_bits)
 from .clv import _scale_consts
 from .sweep import LevelSchedule
 
@@ -144,6 +145,156 @@ def fused_sweep_supported(schedule: LevelSchedule, scale_mode: int,
     bl = _pick_block_sites(n_nodes, rate_cats * states, sites, itemsize,
                            schedule.n_inner + 1)
     return bl is not None
+
+
+def pack_weight_vec(freqs_pc: jax.Array, rate_weights: jax.Array,
+                    impl: str) -> jax.Array:
+    """[C, S] frequencies × [C] rate weights -> [C*S, 1] combined weight
+    column in the packed row layout of ``impl``.  Used by the fused edge
+    score: Σ_c w_c Σ_s f_cs·x_cs == sum over all packed rows of (wvec ⊙ x)."""
+    wf = freqs_pc * rate_weights[:, None]  # [C, S]
+    if impl == "vpu":
+        wf = wf.T  # state-major rows
+    return wf.reshape(-1, 1)
+
+
+def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
+                          child_clv: int, edge_matrix: int,
+                          scale_mode: int = SCALE_PER_SITE, *,
+                          impl: str = "auto", rate_cats: int, states: int,
+                          block_sites: Optional[int] = None,
+                          interpret: bool = False):
+    """Build ``score(tips_packed, pmatrix, weight_vec, pattern_weights)
+    -> logl`` — the tree-search scoring primitive.
+
+    Runs the whole pruning sweep with inner CLVs as VMEM *scratch* (never
+    written to HBM) and folds the edge log-likelihood reduction into the
+    kernel: per site block the only HBM traffic is the tip stream in and one
+    partial-sum scalar out, roughly halving the traffic of sweep-then-score.
+
+    Scope (callers fall back to make_forward for anything else): per-site or
+    no scaling, no proportion-of-invariant mixing, no ascertainment bias —
+    the standard GTR(+Γ) tree-search configuration.  ``weight_vec`` is
+    :func:`pack_weight_vec`; ``pattern_weights`` is [1, L] in the working
+    dtype.  Matches `pll_core_edge_loglikelihood_ii` semantics
+    (libpll `src/core_likelihood.c:727-941`) for that scope.
+    """
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+        raise ValueError("fused edge score: per-site or no scaling only")
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+
+    tips, n_inner = schedule.tips, schedule.n_inner
+    dummy = n_inner
+    ops = _flatten_ops(schedule)
+    cs = rate_cats * states
+    if parent_clv < tips:
+        raise ValueError("evaluation-edge parent must be an inner node")
+
+    def srow(clv_idx):
+        return clv_idx - tips if clv_idx >= tips else dummy
+
+    sp, sc = srow(parent_clv), srow(child_clv)
+
+    def score(tips_packed, pmatrix, weight_vec, pattern_weights):
+        _, cs_in, sites = tips_packed.shape
+        assert cs_in == cs, (cs_in, cs)
+        dtype = tips_packed.dtype
+        thresh, factor = _scale_consts(dtype)
+        itemsize = np.dtype(dtype).itemsize
+        log_scale = np.asarray(
+            -scale_shift_bits(dtype) * np.log(2.0), dtype)
+
+        bl = block_sites or _pick_block_sites(
+            tips + n_inner, cs, sites, itemsize, n_inner + 1)
+        if bl is None or sites % bl != 0:
+            raise ValueError("no viable site block; use the XLA path")
+
+        if impl == "mxu":
+            coeff = block_diag_pmatrices(pmatrix)
+        else:
+            coeff = roll_coeff_pmatrices(pmatrix)
+        n_blocks = sites // bl
+
+        def contract(coeff_ref, m, x):
+            if impl == "mxu":
+                return jnp.dot(coeff_ref[m], x, preferred_element_type=dtype)
+            acc = coeff_ref[m, 0] * x
+            for d in range(1, states):
+                shift = np.int32((cs - d * rate_cats) % cs)
+                acc = acc + coeff_ref[m, d] * pltpu.roll(x, shift, 0)
+            return acc
+
+        def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, out_ref,
+                   inner_ref, scaler_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[0, 0] = jnp.zeros((), dtype)
+
+            def child(idx):
+                return (tips_ref[idx] if idx < tips
+                        else inner_ref[idx - tips])
+
+            def scaler_rows(row):
+                if row == dummy:
+                    return jnp.zeros((1, bl), jnp.int32)
+                return scaler_ref[row:row + 1, :]
+
+            scaler_ref[dummy:dummy + 1, :] = jnp.zeros((1, bl), jnp.int32)
+            for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
+                x = (contract(coeff_ref, m1, child(c1))
+                     * contract(coeff_ref, m2, child(c2)))
+                cnt = scaler_rows(s1) + scaler_rows(s2)
+                if scale_mode == SCALE_PER_SITE and has:
+                    mask = jnp.max(x, axis=0, keepdims=True) < thresh
+                    x = jnp.where(mask, x * factor, x)
+                    cnt = cnt + mask.astype(jnp.int32)
+                inner_ref[prow] = x
+                scaler_ref[prow:prow + 1, :] = cnt
+
+            termb = contract(coeff_ref, edge_matrix, child(child_clv))
+            y = child(parent_clv) * termb * wvec_ref[...]
+            term = jnp.sum(y, axis=0, keepdims=True)  # [1, bl]
+            snum = scaler_rows(sp) + scaler_rows(sc)
+            lnl = (jnp.log(term)
+                   + snum.astype(dtype) * log_scale) * pw_ref[...]
+            out_ref[0, 0] += jnp.sum(lnl)
+
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))
+        except TypeError:  # pragma: no cover
+            compiler_params = None
+
+        z = np.int32(0)
+        nd = len(coeff.shape)
+        partials = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(coeff.shape, lambda j: (z,) * nd,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cs, 1), lambda j: (z, z),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bl), lambda j: (z, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda j: (z, z),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n_inner, cs, bl), dtype),
+                pltpu.VMEM((n_inner + 1, bl), jnp.int32),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(tips_packed, coeff, weight_vec, pattern_weights)
+
+        return partials[0, 0]
+
+    return score
 
 
 def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,

@@ -138,6 +138,52 @@ def test_fused_sweep_protein_states():
     assert jnp.array_equal(scal_ref, scal)
 
 
+@pytest.mark.parametrize("impl", ["mxu", "vpu"])
+def test_fused_edge_score_matches(impl):
+    """The in-kernel edge logL (tree-search scoring primitive) equals the
+    XLA forward's logL."""
+    from libpll_tpu.engine.evaluate import make_forward, make_score
+
+    rng = np.random.default_rng(11)
+    sites, rate_cats, states = 256, 4, 4
+    tree = ut.parse_newick_string(_random_tree_newick(12, rng))
+    tips = tree.tip_count
+    topo, branches = topology_from_tree(tree, sites,
+                                        scale_mode=SCALE_PER_SITE)
+
+    params = rng.uniform(0.5, 2.0, 6)
+    freqs = rng.uniform(0.1, 1.0, 4)
+    freqs /= freqs.sum()
+    w, left, right = eigen_decompose(params, freqs)
+    dtype = jnp.float32
+    model = {
+        "branch_lengths": jnp.asarray(branches, dtype),
+        "rates": jnp.asarray(compute_gamma_cats(1.0, rate_cats), dtype),
+        "prop_invar": jnp.zeros((1,), dtype),
+        "params_indices": jnp.zeros(rate_cats, np.int32),
+        "eigenvals": jnp.asarray(w[None], dtype),
+        "left": jnp.asarray(left[None], dtype),
+        "right": jnp.asarray(right[None], dtype),
+        "freqs_pc": jnp.asarray(np.broadcast_to(freqs, (rate_cats, 4)),
+                                dtype),
+        "prop_invar_pc": jnp.zeros((rate_cats,), dtype),
+        "rate_weights": jnp.full((rate_cats,), 1.0 / rate_cats, dtype),
+        "pattern_weights": jnp.ones((sites,), dtype),
+        "invariant": jnp.full((sites,), -1, jnp.int32),
+    }
+    nodes = 2 * tips - 2
+    clv = np.zeros((nodes, rate_cats, 4, sites), np.float32)
+    st = rng.integers(0, 4, (tips, sites))
+    clv[:tips] = np.eye(4, dtype=np.float32)[st].transpose(0, 2, 1)[:, None]
+    clv = jnp.asarray(clv)
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, sites), jnp.int32)
+
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+    score = make_score(topo, rate_cats, 4, impl=impl, interpret=True)
+    logl = score(model, cp.pack_tips(clv[:tips], impl))
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
+
+
 def test_fused_forward_logl_matches():
     """End-to-end: fused forward logL == XLA forward logL."""
     from libpll_tpu.engine.evaluate import make_forward, make_forward_fused
