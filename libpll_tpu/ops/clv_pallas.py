@@ -33,7 +33,7 @@ XLA sweep otherwise.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -94,22 +94,76 @@ def block_diag_pmatrices(pmatrix: jax.Array) -> jax.Array:
 
 
 def roll_coeff_pmatrices(pmatrix: jax.Array) -> jax.Array:
-    """[M, C, S, S] -> [M, S, S*C, 1] coefficient tables for the VPU-roll
+    """[M, C, S, S] -> [M, S*C, S] coefficient tables for the VPU-roll
     contraction in *state-major* row layout (row = s*C + c):
 
-        out[s*C + c] = sum_d  A[d, s*C + c] * roll(clv, -d*C)[s*C + c]
-        A[d, s*C + c] = P[c, s, (s + d) % S]
+        out[s*C + c] = sum_d  A[s*C + c, d] * roll(clv, -d*C)[s*C + c]
+        A[s*C + c, d] = P[c, s, (s + d) % S]
 
     A cyclic sublane roll by d*C aligns child state (s+d)%S with parent
     state s in every rate lane simultaneously — the [S,S] contraction
     becomes S fused multiply-adds on full [S*C, block] tiles (pure VPU,
-    no MXU small-matmul overhead)."""
+    no MXU small-matmul overhead).  The S roll-columns share one lane tile
+    per matrix (in-kernel slice ``coeff[m, :, d:d+1]``), so the VMEM
+    footprint stays ~128 lanes per matrix regardless of S."""
     m, c, s, _ = pmatrix.shape
     pm = jnp.transpose(pmatrix, (0, 2, 3, 1))  # [M, S(parent), S(child), C]
     si = np.arange(s)
     gather = (si[None, :] + si[:, None]) % s  # [d, s] -> child state
     a = pm[:, si[None, :], gather, :]  # [M, d, s, C]
-    return a.reshape(m, s, s * c, 1)
+    return jnp.transpose(a, (0, 2, 3, 1)).reshape(m, s * c, s)
+
+
+def coeff_lane_width(impl: str, states: int, rate_cats: int) -> int:
+    """Lane width of one matrix's coefficient tile: S roll-columns (vpu) or
+    C*S matmul columns (mxu)."""
+    return states if impl == "vpu" else rate_cats * states
+
+
+def lane_pack_coeff(coeff: jax.Array, lane_width: int) -> jax.Array:
+    """[M, C*S, w] -> [ceil(M·w/128), C*S, 128]: pack 128//w matrices into
+    each 128-lane tile so the in-VMEM coefficient footprint is ~w lanes per
+    matrix instead of a full padded tile (32× smaller for DNA roll tables).
+    In-kernel addressing: matrix m lives at tile m // per, lanes
+    (m % per)·w .. +w with per = 128 // w."""
+    m, cs, w = coeff.shape
+    assert w == lane_width
+    per = max(1, 128 // w)
+    g = -(-m // per)
+    pad = g * per - m
+    if pad:
+        coeff = jnp.concatenate(
+            [coeff, jnp.zeros((pad, cs, w), coeff.dtype)], axis=0)
+    packed = coeff.reshape(g, per, cs, w).transpose(0, 2, 1, 3)
+    return packed.reshape(g, cs, per * w)
+
+
+def make_contract(impl: str, states: int, rate_cats: int, dtype):
+    """In-kernel contraction: child CLV block [C*S, bl] -> parent block.
+    ``coeff_ref`` holds lane-packed tables (see lane_pack_coeff)."""
+    cs = rate_cats * states
+    w = coeff_lane_width(impl, states, rate_cats)
+    per = max(1, 128 // w)
+
+    def contract(coeff_ref, m, x):
+        g, off = m // per, (m % per) * w
+        if impl == "mxu":
+            return jnp.dot(coeff_ref[g, :, off:off + w], x,
+                           preferred_element_type=dtype)
+        acc = coeff_ref[g, :, off:off + 1] * x
+        for d in range(1, states):
+            shift = np.int32((cs - d * rate_cats) % cs)
+            acc = acc + coeff_ref[g, :, off + d:off + d + 1] * pltpu.roll(
+                x, shift, 0)
+        return acc
+
+    return contract
+
+
+def gather_coeff(coeff: jax.Array, used: Sequence[int]) -> jax.Array:
+    """Per-kernel matrix subset (keeps VMEM proportional to the segment,
+    not the whole tree)."""
+    return jnp.take(coeff, jnp.asarray(np.asarray(used, np.int32)), axis=0)
 
 
 def pack_tips(tips_clv: jax.Array, impl: str) -> jax.Array:
@@ -210,20 +264,13 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
         if bl is None or sites % bl != 0:
             raise ValueError("no viable site block; use the XLA path")
 
-        if impl == "mxu":
-            coeff = block_diag_pmatrices(pmatrix)
-        else:
-            coeff = roll_coeff_pmatrices(pmatrix)
+        coeff = (block_diag_pmatrices(pmatrix) if impl == "mxu"
+                 else roll_coeff_pmatrices(pmatrix))
+        coeff = lane_pack_coeff(
+            coeff, coeff_lane_width(impl, states, rate_cats))
         n_blocks = sites // bl
 
-        def contract(coeff_ref, m, x):
-            if impl == "mxu":
-                return jnp.dot(coeff_ref[m], x, preferred_element_type=dtype)
-            acc = coeff_ref[m, 0] * x
-            for d in range(1, states):
-                shift = np.int32((cs - d * rate_cats) % cs)
-                acc = acc + coeff_ref[m, d] * pltpu.roll(x, shift, 0)
-            return acc
+        contract = make_contract(impl, states, rate_cats, dtype)
 
         def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, out_ref,
                    inner_ref, scaler_ref):
@@ -342,25 +389,14 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                 f"no viable site block for {tips + n_inner} nodes x {cs} "
                 f"x {sites} sites; use the XLA sweep")
 
-        if impl == "mxu":
-            coeff = block_diag_pmatrices(pmatrix)
-            coeff_block = coeff.shape
-        else:
-            coeff = roll_coeff_pmatrices(pmatrix)
-            coeff_block = coeff.shape
+        coeff = (block_diag_pmatrices(pmatrix) if impl == "mxu"
+                 else roll_coeff_pmatrices(pmatrix))
+        coeff = lane_pack_coeff(
+            coeff, coeff_lane_width(impl, states, rate_cats))
+        coeff_block = coeff.shape
         n_blocks = sites // bl
 
-        def contract_mxu(coeff_ref, m, x):
-            return jnp.dot(coeff_ref[m], x, preferred_element_type=dtype)
-
-        def contract_vpu(coeff_ref, m, x):
-            acc = coeff_ref[m, 0] * x
-            for d in range(1, states):
-                shift = np.int32((cs - d * rate_cats) % cs)
-                acc = acc + coeff_ref[m, d] * pltpu.roll(x, shift, 0)
-            return acc
-
-        contract = contract_mxu if impl == "mxu" else contract_vpu
+        contract = make_contract(impl, states, rate_cats, dtype)
 
         def kernel(tips_ref, coeff_ref, inner_ref, scaler_ref):
             def child(idx):

@@ -44,10 +44,15 @@ def scale_shift_bits(dtype) -> int:
     """Exponent shift of one scaling event for the working dtype.
 
     float64 uses the reference's 2**256 (pll.h:89); float32 has only 8
-    exponent bits, so the fast path rescales by 2**64 instead — the counter
+    exponent bits, so the fast path rescales by 2**32 — the counter
     semantics are identical, only the unit differs, and the fold-back uses
-    the matching log factor.
+    the matching log factor.  2**32 (not 2**64) keeps ~2**94 of headroom
+    between the scaling trigger and denormal death, which deep trees need:
+    per-site scaling only fires when *every* state×rate entry of a site is
+    below the threshold, so the within-site spread (slow Γ rates decay much
+    slower than fast ones) eats the gap (the same pressure that motivates
+    the reference's per-rate scalers for >10k-taxon trees, ChangeLog.md).
     """
     import numpy as np
 
-    return 256 if np.dtype(dtype).itemsize == 8 else 64
+    return 256 if np.dtype(dtype).itemsize == 8 else 32
