@@ -40,6 +40,19 @@ def compress_site_patterns(sequences: List[str], charmap: np.ndarray,
 
     mat = np.frombuffer("".join(sequences).encode("latin-1"),
                         dtype=np.uint8).reshape(len(sequences), n)
+
+    # native C++ fast path (libpll_tpu.native.host.cpp); same result set and
+    # first-occurrence order as the numpy fallback below
+    from .. import native
+    if native.available():
+        try:
+            kept_mat, weights = native.compress_patterns(mat, charmap)
+        except ValueError as e:
+            raise EinvalError(str(e)) from e
+        out = [bytes(kept_mat[t]).decode("latin-1")
+               for t in range(kept_mat.shape[0])]
+        return out, weights.astype(np.int64)
+
     if np.any(np.asarray(charmap)[mat] == 0):
         raise EinvalError("illegal character in sequences")
 

@@ -68,6 +68,15 @@ class FastaReader:
 
     def read_all(self) -> Tuple[List[str], List[str]]:
         """Return (headers, sequences)."""
+        # native C++ fast path (libpll_tpu.native.host.cpp): same validity
+        # semantics (1 keep, 2 fatal, other stripped)
+        from .. import native
+        if native.available():
+            try:
+                headers, seqs, _ = native.fasta_scan(self._data, self.map)
+                return headers, seqs
+            except ValueError as e:
+                raise FastaError(str(e)) from e
         headers, seqs = [], []
         for rec in self:
             headers.append(rec.header)

@@ -197,8 +197,14 @@ def build_segmented_schedule(schedule: LevelSchedule, *, rate_cats: int,
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 4 * (tips + n_inner) + 1000))
     try:
-        for r in roots:
-            visit(r)
+        sizes = {r: visit(r) for r in roots}
+        # the final segment merges every root's remainder; if the union
+        # exceeds the budget, spill the largest roots into own segments
+        while (sum(sizes.values()) > max_rows
+               and max(sizes.values()) > 1):
+            r = max(sizes, key=sizes.get)
+            emit_segment([r])
+            sizes[r] = 1
         emit_segment(roots)
     finally:
         sys.setrecursionlimit(old_limit)
@@ -416,28 +422,26 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
     last = len(seg.segments) - 1
 
     # locate evaluation-edge rows within the root segment's address space
+    def locate(lm, what):
+        if lm < tips:
+            root_tips = seg.segments[last].tip_globals
+            if lm not in root_tips:
+                raise ValueError(f"edge {what} tip not in root segment; "
+                                 "build with ensure_rows=[parent, child]")
+            return ("tip", root_tips.index(lm))
+        sseg, sloc = seg.loc_of[lm - tips]
+        if sseg == last:
+            return ("loc", sloc)
+        imports = seg.segments[last].imports
+        if (sseg, sloc) not in imports:
+            raise ValueError(f"edge {what} not importable; build with "
+                             "ensure_rows=[parent, child]")
+        return ("imp", imports.index((sseg, sloc)))
+
     if parent_lm < tips:
         raise ValueError("edge parent must be an inner node")
-    pseg, ploc = seg.loc_of[parent_lm - tips]
-    if pseg != last:
-        raise ValueError("edge parent must live in the root segment; build "
-                         "with ensure_rows=[parent, child]")
-    if child_lm < tips:
-        root_tips = seg.segments[last].tip_globals
-        if child_lm not in root_tips:
-            raise ValueError("edge child tip not in root segment; build "
-                             "with ensure_rows=[parent, child]")
-        child_src = ("tip", root_tips.index(child_lm))
-    else:
-        cseg, cloc = seg.loc_of[child_lm - tips]
-        if cseg == last:
-            child_src = ("loc", cloc)
-        else:
-            imports = seg.segments[last].imports
-            if (cseg, cloc) not in imports:
-                raise ValueError("edge child not importable; build with "
-                                 "ensure_rows=[parent, child]")
-            child_src = ("imp", imports.index((cseg, cloc)))
+    parent_src = locate(parent_lm, "parent")
+    child_src = locate(child_lm, "child")
 
     def score(tip_slabs: Sequence[jax.Array], pmatrix, weight_vec,
               pattern_weights):
@@ -495,18 +499,24 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                                          factor, bl, tips_ref, imp_ref,
                                          imp_scal_ref, coeff_ref, loc_ref,
                                          scal_ref)
-                    kind, ci = child_src
-                    child_row = (tips_ref[ci] if kind == "tip"
-                                 else imp_ref[ci] if kind == "imp"
-                                 else loc_ref[ci])
-                    termb = contract(coeff_ref, edge_m, child_row)
-                    y = loc_ref[ploc] * termb * wvec_ref[...]
+                    def row_of(src):
+                        kind, i = src
+                        return (tips_ref[i] if kind == "tip"
+                                else imp_ref[i] if kind == "imp"
+                                else loc_ref[i])
+
+                    def scal_of(src):
+                        kind, i = src
+                        if kind == "tip":
+                            return jnp.zeros((1, bl), jnp.int32)
+                        if kind == "imp":
+                            return imp_scal_ref[i:i + 1, :]
+                        return scal_ref[i:i + 1, :]
+
+                    termb = contract(coeff_ref, edge_m, row_of(child_src))
+                    y = row_of(parent_src) * termb * wvec_ref[...]
                     term = jnp.sum(y, axis=0, keepdims=True)
-                    snum = scal_ref[ploc:ploc + 1, :]
-                    if kind == "loc":
-                        snum = snum + scal_ref[ci:ci + 1, :]
-                    elif kind == "imp":
-                        snum = snum + imp_scal_ref[ci:ci + 1, :]
+                    snum = scal_of(parent_src) + scal_of(child_src)
                     lnl = (jnp.log(term)
                            + snum.astype(dtype) * log_scale) * pw_ref[...]
                     out_ref[0, 0] += jnp.sum(lnl)
