@@ -191,6 +191,56 @@ def make_score(topo: EvalTopology, rate_cats: int, states: int,
     return score
 
 
+def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
+                       mesh, impl: str = "auto", interpret: bool = False):
+    """Multi-chip fused scoring: tips packed and sharded on the sites axis,
+    each device runs the fused edge-score kernel on its local site shard
+    (per-site scaling is shard-local by construction), and the partial
+    log-likelihoods meet in one psum over ICI — the entire cross-device
+    traffic of a full-tree evaluation (SURVEY §2.4/§5.8).
+
+    Returns ``score(model, tips_packed) -> logl`` where ``tips_packed`` is
+    sharded [tips, C*S, L] (L divisible by mesh size × the kernel's site
+    block).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import clv_pallas as cp
+    from ..parallel.mesh import SITES_AXIS
+
+    if topo.asc_mode:
+        raise ValueError("fused score does not support asc-bias")
+    score_kernel = cp.make_fused_edge_score(
+        topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
+        interpret=interpret)
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+
+    def score(model, tips_packed):
+        dtype = tips_packed.dtype
+        pmatrix = _pmatrices(model, topo, dtype)
+        wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
+                                  model["rate_weights"].astype(dtype), impl)
+        pw = model["pattern_weights"].astype(dtype)[None, :]
+
+        def local(tp, pmat, wv, pwl):
+            part = score_kernel(tp, pmat, wv, pwl)
+            return jax.lax.psum(part, SITES_AXIS)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-axis
+        # metadata, which the vma checker would otherwise reject
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None, SITES_AXIS), P(), P(),
+                      P(None, SITES_AXIS)),
+            out_specs=P(), check_vma=False)
+        return fn(tips_packed, pmatrix, wvec, pw)
+
+    return score
+
+
 def make_train_step(topo: EvalTopology):
     """Full "training" step: forward sweep + analytic Newton update of the
     evaluation edge's branch length (the optimization inner loop of SURVEY
