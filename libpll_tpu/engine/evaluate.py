@@ -129,6 +129,9 @@ def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
     """
     from ..ops import clv_pallas as cp
 
+    if topo.asc_mode:
+        raise ValueError("fused paths do not support asc-bias; use "
+                         "make_forward")
     sweep = cp.make_fused_sweep(topo.schedule, topo.scale_mode, impl=impl,
                                 rate_cats=rate_cats, states=states,
                                 interpret=interpret)
@@ -239,6 +242,73 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
         return fn(tips_packed, pmatrix, wvec, pw)
 
     return score
+
+
+def make_train_step_fused(topo: EvalTopology, rate_cats: int, states: int,
+                          impl: str = "auto", interpret: bool = False):
+    """Newton branch-length optimization on the fused-Pallas path: fused
+    sweep → edge logL → sumtable (once) → device-resident Newton while_loop
+    (SURVEY §3.3), all in one compiled program.
+
+    Returns ``step(model, tips_packed) -> (logl, t_star)``.
+    """
+    from ..ops import clv_pallas as cp
+
+    fwd = make_forward_fused(topo, rate_cats, states, impl=impl,
+                             interpret=interpret)
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+    per_rate = topo.scale_mode == SCALE_PER_RATE
+    tips = topo.schedule.tips
+    sp = topo.scaler_row(topo.parent_clv)
+    sc = topo.scaler_row(topo.child_clv)
+    MIN_T, MAX_T = 1e-8, 100.0
+
+    def row(tips_packed, inner, idx):
+        packed = tips_packed[idx] if idx < tips else inner[idx - tips]
+        return cp.unpack_clv(packed, rate_cats, states, impl)
+
+    def step(model, tips_packed):
+        logl, _, inner, scalers = fwd(model, tips_packed)
+        dtype = tips_packed.dtype
+        clv_p = row(tips_packed, inner, topo.parent_clv)
+        clv_c = row(tips_packed, inner, topo.child_clv)
+        left_pc = model["left"][model["params_indices"]].astype(dtype)
+        right_pc = model["right"][model["params_indices"]].astype(dtype)
+        evals_pc = model["eigenvals"][model["params_indices"]].astype(dtype)
+        sumtable = deriv_ops.update_sumtable(
+            clv_p, clv_c, scalers[sp], scalers[sc],
+            model["freqs_pc"].astype(dtype), left_pc, right_pc,
+            per_rate=per_rate)
+
+        t0 = model["branch_lengths"][-1]
+        zeros_site = jnp.zeros((tips_packed.shape[-1],), dtype=jnp.int32)
+
+        def cond(carry):
+            t, d1, it = carry
+            return (jnp.abs(d1) > 1e-9) & (it < 32)
+
+        def body(carry):
+            t, _, it = carry
+            d1, d2 = deriv_ops.likelihood_derivatives(
+                sumtable, t, model["rates"].astype(dtype),
+                model["prop_invar_pc"].astype(dtype), evals_pc,
+                model["freqs_pc"].astype(dtype),
+                model["rate_weights"].astype(dtype),
+                model["invariant"],
+                model["pattern_weights"].astype(dtype),
+                zeros_site, zeros_site, sites=topo.sites,
+                asc_mode=topo.asc_mode)
+            step_ = jnp.where(d2 != 0.0, d1 / d2, d1)
+            t_new = jnp.clip(t - step_, MIN_T, MAX_T)
+            return (t_new, d1, it + 1)
+
+        big = jnp.asarray(jnp.inf, dtype=dtype)
+        t_star, _, _ = jax.lax.while_loop(
+            cond, body, (t0.astype(dtype), big, 0))
+        return logl, t_star
+
+    return step
 
 
 def make_train_step(topo: EvalTopology):

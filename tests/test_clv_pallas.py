@@ -229,3 +229,22 @@ def test_fused_forward_logl_matches():
     logl, _, _, _ = fwd(model, cp.pack_tips(clv[:tips], "mxu"))
     assert np.isfinite(float(logl))
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=1e-6)
+
+
+def test_fused_train_step_matches():
+    """Fused-path Newton step == XLA-path Newton step (logL and t*)."""
+    from libpll_tpu.engine.evaluate import (make_train_step,
+                                            make_train_step_fused)
+    import sys
+    sys.path.insert(0, "tests")
+    from test_clv_pallas_seg import _build, _random_tree_newick as _rtn
+
+    rng = np.random.default_rng(4)
+    topo, model, pmatrix, clv, scalers = _build(_rtn(10, rng), sites=256,
+                                                seed=4)
+    t = topo.schedule.tips
+    logl_ref, tstar_ref, _, _ = make_train_step(topo)(model, clv, scalers)
+    step = make_train_step_fused(topo, 4, 4, impl="mxu", interpret=True)
+    logl, tstar = step(model, cp.pack_tips(clv[:t], "mxu"))
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
+    np.testing.assert_allclose(float(tstar), float(tstar_ref), rtol=1e-4)
