@@ -1,0 +1,358 @@
+"""Data-driven fused sweep — constant trace/compile cost at any tree size.
+
+The unrolled kernels in ops/clv_pallas.py / clv_pallas_seg.py bake the op
+schedule into the kernel body, so Python tracing grows linearly with the
+tree (~2 min at 4k taxa).  This module moves the schedule into **data**:
+
+  * the op table is a scalar-prefetched int32 array read from SMEM;
+  * the kernel body is a fixed CHUNK-op unrolled loop using *dynamic row
+    indices* into one combined VMEM ``state`` scratch (tips | imports |
+    locals | trash);
+  * per-op transition matrices are pre-gathered into op order and
+    lane-packed so each op's coefficients sit at a *static* lane offset of
+    its chunk tile (no dynamic lane slicing);
+  * every segment of a large tree is padded to one uniform shape, so all
+    segments execute the **same compiled kernel** with different tables.
+
+Semantics are identical to the unrolled kernels (same scaling counters,
+same contraction order per impl); tests cross-validate all three.
+
+Grid: (site_blocks, chunks) with chunks innermost; the state scratch
+persists across chunk steps of one site block and is re-initialized from
+the pipelined tip/import inputs at chunk 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import (SCALE_NONE, SCALE_PER_SITE,
+                               scale_shift_bits)
+from .clv import _scale_consts
+from .clv_pallas import _VMEM_BUDGET, roll_coeff_pmatrices
+from .clv_pallas_seg import SegmentedSchedule, build_segmented_schedule
+
+CHUNK = 64  # ops per grid step (the unrolled kernel body size)
+
+
+@dataclass(frozen=True)
+class DynSegment:
+    table: np.ndarray        # [n_ops_pad, 6] int32: p_state, c1, c2, s1, s2, has
+    m_ops: np.ndarray        # [n_ops_pad, 2] int32 matrix ids (op order)
+    tip_globals: np.ndarray  # [n_tips_used] int64 global tip rows
+    imports: Tuple[Tuple[int, int], ...]  # (segment, local) refs
+    n_local: int             # real (unpadded) local count
+
+
+@dataclass(frozen=True)
+class DynSchedule:
+    segments: Tuple[DynSegment, ...]
+    tips: int
+    n_inner: int
+    r_tip: int      # uniform tip-slab rows
+    r_imp: int      # uniform import rows
+    r_loc: int      # uniform (padded) local rows = n_chunks*CHUNK
+    n_chunks: int
+    seg_offsets: Tuple[int, ...]  # segment-major inner row offsets
+    loc_of: dict    # level-major inner row -> (segment, local)
+
+    def inner_row(self, level_major_inner_row: int) -> int:
+        s, l = self.loc_of[level_major_inner_row]
+        return self.seg_offsets[s] + l
+
+    scaler_row = inner_row
+
+
+def _dyn_max_rows(cs: int, itemsize: int, bl: int) -> int:
+    # state scratch + double-buffered inputs + chunk outputs + scalers
+    per_row = (cs * bl * itemsize) * 3 + bl * 4 * 3
+    return max(16, (_VMEM_BUDGET - 2 * CHUNK * cs * bl * itemsize)
+               // per_row)
+
+
+def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
+                       itemsize: int = 4, block_sites: int = 128,
+                       max_rows: Optional[int] = None,
+                       ensure_rows: Sequence[int] = ()) -> DynSchedule:
+    """Segment (via clv_pallas_seg) and pad to one uniform kernel shape."""
+    cs = rate_cats * states
+    if max_rows is None:
+        max_rows = _dyn_max_rows(cs, itemsize, block_sites)
+    seg = build_segmented_schedule(schedule, rate_cats=rate_cats,
+                                   states=states, itemsize=itemsize,
+                                   max_rows=max_rows,
+                                   ensure_rows=ensure_rows)
+    tips, n_inner = seg.tips, seg.n_inner
+    r_tip = max(max(len(s.tip_globals) for s in seg.segments), 1)
+    r_imp = max(max(len(s.imports) for s in seg.segments), 1)
+    r_loc_real = max(s.n_local for s in seg.segments)
+    n_chunks = -(-r_loc_real // CHUNK)
+    r_loc = n_chunks * CHUNK
+
+    # state scratch rows: [0,r_tip) tips | [r_tip,+r_imp) imports |
+    # [+,+r_loc) locals | trash (last)
+    loc0 = r_tip + r_imp
+    trash_state = loc0 + r_loc
+    # scaler scratch rows: [0,r_imp) import counters | [r_imp,+r_loc)
+    # locals | dummy (zero) | trash
+    sloc0 = r_imp
+    dummy_scal = sloc0 + r_loc
+    trash_scal = dummy_scal + 1
+
+    def s_state(src):
+        kind, i = src[0], (src[1] if len(src) > 1 else 0)
+        if kind == "tip":
+            return i
+        if kind == "imp":
+            return r_tip + i
+        return loc0 + i
+
+    def s_scal(src):
+        if src[0] == "zero":
+            return dummy_scal
+        if src[0] == "simp":
+            return src[1]
+        return sloc0 + src[1]
+
+    dsegs: List[DynSegment] = []
+    offsets: List[int] = []
+    acc = 0
+    for s in seg.segments:
+        n_pad = r_loc
+        table = np.zeros((n_pad, 6), np.int32)
+        m_ops = np.zeros((n_pad, 2), np.int32)
+        # pad entries: read/write trash rows, never scale
+        table[:, 0] = trash_state
+        table[:, 1] = trash_state
+        table[:, 2] = trash_state
+        table[:, 3] = trash_scal
+        table[:, 4] = trash_scal
+        for (lp, src1, m1, src2, m2, sr1, sr2, has) in s.ops:
+            table[lp] = (loc0 + lp, s_state(src1), s_state(src2),
+                         s_scal(sr1), s_scal(sr2), int(has))
+            m_ops[lp] = (m1, m2)
+        dsegs.append(DynSegment(table, m_ops,
+                                np.asarray(s.tip_globals, np.int64),
+                                tuple(s.imports), s.n_local))
+        offsets.append(acc)
+        acc += s.n_local
+    assert acc == n_inner
+
+    return DynSchedule(tuple(dsegs), tips, n_inner, r_tip, r_imp, r_loc,
+                       n_chunks, tuple(offsets), dict(seg.loc_of))
+
+
+def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
+                  impl: str = "vpu") -> List[jax.Array]:
+    """Per-segment packed tip slabs, padded to the uniform r_tip rows."""
+    from .clv_pallas import pack_tips
+
+    packed = pack_tips(tips_clv, impl)
+    cs, sites = packed.shape[1], packed.shape[2]
+    out = []
+    for s in dyn.segments:
+        if s.tip_globals.size:
+            slab = jnp.take(packed, jnp.asarray(s.tip_globals), axis=0)
+        else:
+            slab = jnp.zeros((0, cs, sites), packed.dtype)
+        pad = dyn.r_tip - slab.shape[0]
+        if pad:
+            slab = jnp.concatenate(
+                [slab, jnp.zeros((pad, cs, sites), packed.dtype)], axis=0)
+        out.append(slab)
+    return out
+
+
+def _pack_op_coeff(coeff_ops: jax.Array, w: int) -> Tuple[jax.Array, int]:
+    """[n_ops, 2, cs, w] op-ordered roll tables -> lane-packed chunk tiles
+    [n_chunks*tiles_per_chunk, cs, 128]; op k of a chunk occupies lanes
+    [(k % per)·2w, +2w) of tile k // per (left side first)."""
+    n_ops, _, cs, w_ = coeff_ops.shape
+    assert w_ == w
+    per = 128 // (2 * w)
+    n_tiles = -(-n_ops // per)
+    pad = n_tiles * per - n_ops
+    if pad:
+        coeff_ops = jnp.concatenate(
+            [coeff_ops, jnp.zeros((pad, 2, cs, w), coeff_ops.dtype)], axis=0)
+    # [n_tiles, per, 2, cs, w] -> [n_tiles, cs, per, 2, w]
+    x = coeff_ops.reshape(n_tiles, per, 2, cs, w).transpose(0, 3, 1, 2, 4)
+    x = x.reshape(n_tiles, cs, per * 2 * w)
+    lane_pad = 128 - per * 2 * w
+    if lane_pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_tiles, cs, lane_pad), x.dtype)], axis=2)
+    return x, per
+
+
+def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
+                   rate_cats: int, states: int, block_sites: int = 128,
+                   interpret: bool = False):
+    """Build ``sweep(tip_slabs, tables, m_gathers, pmatrix) -> (inner,
+    scalers)`` where ``tables``/``m_gathers`` come from
+    :func:`dyn_runtime_args` — all segments run one compiled kernel.
+
+    VPU-roll contraction only (DNA-sized states); inner rows are
+    segment-major (``dyn.inner_row`` translates level-major ids).
+    """
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+        raise ValueError("per-site or no scaling only")
+    cs = rate_cats * states
+    w = states
+    per = 128 // (2 * w)
+    tiles_per_chunk = -(-CHUNK // per)
+    r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
+    n_chunks = dyn.n_chunks
+    loc0 = r_tip + r_imp
+    n_state = loc0 + r_loc + 1
+    sloc0 = r_imp
+    n_scal = sloc0 + r_loc + 2  # + dummy + trash
+
+    def kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
+               out_ref, out_scal_ref, state, scal):
+        j = pl.program_id(0)
+        chunk = pl.program_id(1)
+        dtype = out_ref.dtype
+        thresh, factor = _scale_consts(dtype)
+        bl = out_ref.shape[-1]
+
+        @pl.when(chunk == 0)
+        def _():
+            state[0:r_tip] = tips_ref[...]
+            state[r_tip:loc0] = imp_ref[...]
+            scal[0:r_imp, :] = imp_scal_ref[...]
+            scal[dyn.r_imp + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+
+        base = chunk * CHUNK
+        for k in range(CHUNK):
+            row = base + k
+            p = table_ref[row, 0]
+            c1 = table_ref[row, 1]
+            c2 = table_ref[row, 2]
+            s1 = table_ref[row, 3]
+            s2 = table_ref[row, 4]
+            has = table_ref[row, 5]
+
+            tile = k // per
+            off = (k % per) * 2 * w
+            a1 = state[c1]
+            a2 = state[c2]
+            left = coeff_ref[tile, :, off:off + 1] * a1
+            right = coeff_ref[tile, :, off + w:off + w + 1] * a2
+            for d in range(1, w):
+                shift = np.int32((cs - d * rate_cats) % cs)
+                left = left + (coeff_ref[tile, :, off + d:off + d + 1]
+                               * pltpu.roll(a1, shift, 0))
+                right = right + (
+                    coeff_ref[tile, :, off + w + d:off + w + d + 1]
+                    * pltpu.roll(a2, shift, 0))
+            x = left * right
+            cnt = scal[pl.ds(s1, 1), :] + scal[pl.ds(s2, 1), :]
+            if scale_mode == SCALE_PER_SITE:
+                mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
+                        & (has > 0))
+                x = jnp.where(mask, x * factor, x)
+                cnt = cnt + mask.astype(jnp.int32)
+            state[p] = x
+            scal[pl.ds(sloc0 + base + k, 1), :] = cnt
+            out_ref[k] = x
+            out_scal_ref[k:k + 1, :] = cnt
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("sites",))
+    def one_segment(table, tip_slab, imp, imp_scal, coeff_tiles, sites):
+        dtype = tip_slab.dtype
+        bl = block_sites
+        n_blocks = sites // bl
+        z = np.int32(0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks, n_chunks),
+            in_specs=[
+                pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_imp, bl), lambda j, c, t: (z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                             lambda j, c, t: (c, z, z),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((CHUNK, cs, bl), lambda j, c, t: (c, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CHUNK, bl), lambda j, c, t: (c, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_state, cs, bl), dtype),
+                pltpu.VMEM((n_scal, bl), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((r_loc, cs, sites), dtype),
+                jax.ShapeDtypeStruct((r_loc, sites), jnp.int32),
+            ],
+            interpret=interpret,
+        )(table, tip_slab, imp, imp_scal, coeff_tiles)
+
+    def sweep(tip_slabs, tables, m_gathers, pmatrix):
+        dtype = tip_slabs[0].dtype
+        sites = tip_slabs[0].shape[-1]
+        if sites % block_sites:
+            raise ValueError(f"sites must divide {block_sites}")
+        coeff = roll_coeff_pmatrices(pmatrix)  # [M, cs, w]
+
+        seg_out, seg_scal = [], []
+        for si, s in enumerate(dyn.segments):
+            coeff_ops = coeff[m_gathers[si]]  # [n_ops_pad, 2, cs, w]
+            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w)
+            if s.imports:
+                imp = jnp.concatenate(
+                    [seg_out[a][b][None] for (a, b) in s.imports], axis=0)
+                imp_scal = jnp.concatenate(
+                    [seg_scal[a][b][None] for (a, b) in s.imports], axis=0)
+                pad = r_imp - len(s.imports)
+                if pad:
+                    imp = jnp.concatenate(
+                        [imp, jnp.zeros((pad, cs, sites), dtype)], axis=0)
+                    imp_scal = jnp.concatenate(
+                        [imp_scal, jnp.zeros((pad, sites), jnp.int32)],
+                        axis=0)
+            else:
+                imp = jnp.zeros((r_imp, cs, sites), dtype)
+                imp_scal = jnp.zeros((r_imp, sites), jnp.int32)
+            loc, scal = one_segment(tables[si], tip_slabs[si], imp,
+                                    imp_scal, coeff_tiles, sites=sites)
+            seg_out.append(loc)
+            seg_scal.append(scal)
+
+        inner = jnp.concatenate(
+            [o[:s.n_local] for o, s in zip(seg_out, dyn.segments)], axis=0)
+        scalers = jnp.concatenate(
+            [o[:s.n_local] for o, s in zip(seg_scal, dyn.segments)]
+            + [jnp.zeros((1, sites), jnp.int32)], axis=0)
+        return inner, scalers
+
+    return sweep
+
+
+def dyn_runtime_args(dyn: DynSchedule):
+    """(tables, m_gathers): per-segment device arrays consumed by the
+    sweep — the schedule as data."""
+    tables = [jnp.asarray(s.table) for s in dyn.segments]
+    m_gathers = [jnp.asarray(s.m_ops) for s in dyn.segments]
+    return tables, m_gathers

@@ -1,0 +1,60 @@
+"""Parity of the data-driven (scalar-prefetch) fused sweep against the XLA
+level sweep — schedule-as-data kernels share one compiled binary across all
+segments (ops/clv_pallas_dyn.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libpll_tpu.ops import clv_pallas as cp
+from libpll_tpu.ops import clv_pallas_dyn as cpd
+from libpll_tpu.ops.sweep import make_level_sweep
+from libpll_tpu.utils.constants import SCALE_PER_SITE
+
+from test_clv_pallas import _caterpillar_newick
+from test_clv_pallas_seg import _build, _random_tree_newick
+
+
+@pytest.mark.parametrize("newick_fn,tips,max_rows", [
+    (_random_tree_newick, 24, 24),
+    (_caterpillar_newick, 16, 12),  # deep chain: nested cuts
+])
+def test_dyn_sweep_matches_xla(newick_fn, tips, max_rows):
+    rng = np.random.default_rng(tips)
+    newick = (newick_fn(tips, rng) if newick_fn is _random_tree_newick
+              else newick_fn(tips))
+    topo, model, pmatrix, clv, scalers = _build(newick, sites=128)
+    # interpreter mode is slow: keep cases tiny
+    t = topo.schedule.tips
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, SCALE_PER_SITE)(
+        clv, scalers, pmatrix)
+
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=max_rows,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    slabs = cpd.pack_tips_dyn(clv[:t], dyn, "vpu")
+    tables, m_g = cpd.dyn_runtime_args(dyn)
+    sweep = cpd.make_dyn_sweep(dyn, SCALE_PER_SITE, rate_cats=4, states=4,
+                               interpret=True)
+    inner, scal = sweep(slabs, tables, m_g, pmatrix)
+
+    # bit-exact vs the unrolled vpu kernel (same contraction order); the XLA
+    # einsum is compared site-normalized (tiny decayed entries accumulate
+    # order-dependent rounding)
+    usweep = cp.make_fused_sweep(topo.schedule, SCALE_PER_SITE, impl="vpu",
+                                 rate_cats=4, states=4, block_sites=128,
+                                 interpret=True)
+    inner_u, scal_u = usweep(cp.pack_tips(clv[:t], "vpu"), pmatrix)
+    gu, gd = np.asarray(inner_u), np.asarray(inner)
+    su, sd = np.asarray(scal_u), np.asarray(scal)
+    ref = np.asarray(clv_ref)
+    got = np.asarray(cp.unpack_clv(inner, 4, 4, "vpu"))
+    sref, sgot = np.asarray(scal_ref), np.asarray(scal)
+    for r in range(topo.schedule.n_inner):
+        assert np.array_equal(gu[r], gd[dyn.inner_row(r)]), r
+        assert np.array_equal(su[r], sd[dyn.scaler_row(r)]), r
+        a, b = ref[t + r], got[dyn.inner_row(r)]
+        sm = np.abs(a).max(axis=(0, 1), keepdims=True)
+        assert (np.abs(a - b) / np.maximum(sm, 1e-300)).max() < 1e-5, r
+        assert np.array_equal(sref[r], sgot[dyn.scaler_row(r)]), r
