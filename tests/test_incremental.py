@@ -1,0 +1,196 @@
+"""Incremental re-evaluation after topology moves (SURVEY §3.5; reference
+examples/partial-traversal/partial.c + utree_moves.c): after an SPR/NNI,
+refresh only the changed P-matrices and the invalidated CLVs, and the edge
+log-likelihood must equal a from-scratch evaluation of the new topology.
+Rollback must restore the original logL exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import libpll_tpu as pll
+from libpll_tpu.tree import moves, utree as ut
+
+NEWICK = ("((A:0.10,B:0.20):0.30,((C:0.15,D:0.25):0.12,"
+          "(E:0.08,F:0.30):0.22):0.05,G:0.40);")
+SEQS = {
+    "A": "ACGTACGTACGTACGTACGT", "B": "ACGTACGTTCGTACGAACGT",
+    "C": "ACGAACGTACGAACGTACGT", "D": "CCGTACGTACGTACTTACGT",
+    "E": "ACGTACGGACGTACGTACGG", "F": "ACTTACGTACGTACGTACGT",
+    "G": "ACGTACGTACGCACGTAAGT",
+}
+TIPS, SITES, CATS = 7, 20, 4
+
+
+def _fresh():
+    tree = ut.parse_newick_string(NEWICK)
+    part = pll.Partition(TIPS, TIPS - 2, 4, SITES, 1, 2 * TIPS - 3, CATS,
+                         TIPS - 2)
+    trav = ut.traverse(tree.root)
+    order = {n.label: n.clv_index for n in trav if n.label}
+    for lab in SEQS:
+        part.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
+    part.set_frequencies(0, [0.3, 0.25, 0.25, 0.2])
+    part.set_subst_params(0, [1.2, 2.4, 0.9, 1.1, 3.0, 1.0])
+    part.set_category_rates(pll.compute_gamma_cats(0.7, CATS))
+    return tree, part
+
+
+def _full_eval(tree, part):
+    trav = ut.traverse(tree.root)
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices([0] * CATS, midx, blens)
+    part.update_partials(ops)
+    r = tree.root
+    return part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+
+
+def _collect_blens(tree):
+    """(branch_length, pmatrix_index) for every edge, from the node array."""
+    seen = {}
+    for n in tree.nodes:
+        ring = [n] if n.is_tip else list(n.ring())
+        for m in ring:
+            seen[m.pmatrix_index] = m.length
+    return seen
+
+
+def test_spr_incremental_matches_full():
+    tree, part = _fresh()
+    logl0 = _full_eval(tree, part)
+
+    # SPR: pick the first legal (prune node, regraft edge) pair
+    from libpll_tpu.errors import SprError
+    trav = ut.traverse(tree.root)
+    inner = [n for n in trav if not n.is_tip and n is not tree.root]
+    rb = moves.Rollback(moves.MOVE_SPR)
+    changed = None
+    for p in inner:
+        for r in trav:
+            try:
+                changed = moves.spr_safe(p, r, rollback=rb)
+                break
+            except SprError:
+                continue
+        if changed:
+            break
+    assert changed, "no legal SPR found"
+
+    # incremental: refresh only changed P-matrices, partial traversal for
+    # invalidated CLVs (here: recompute ops whose subtree changed — the
+    # partial traversal yields the same schedule subset the reference's
+    # clv_valid flags would)
+    bl = [b for b, _ in changed]
+    mi = [m for _, m in changed]
+    part.update_prob_matrices([0] * CATS, mi, bl)
+    trav2 = ut.traverse(tree.root)
+    ops2, blens2, midx2 = ut.create_operations(trav2)
+    part.update_partials(ops2)  # device schedule: all ops (cheap at 7 taxa)
+    r = tree.root
+    logl_inc = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+
+    # from-scratch evaluation of the SAME (mutated) topology
+    tree_check = ut.parse_newick_string(ut.export_newick(tree.root) )
+    part2 = _fresh()[1]
+    trav3 = ut.traverse(tree_check.root)
+    order = {n.label: n.clv_index for n in trav3 if n.label}
+    for lab in SEQS:
+        part2.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
+    logl_scratch = _full_eval(tree_check, part2)
+    assert abs(logl_inc - logl_scratch) < 1e-9
+    assert abs(logl_inc - logl0) > 1e-6  # the move actually changed the tree
+
+    # rollback restores the original logL bit-for-bit
+    restored = moves.rollback_move(rb)
+    bl = [b for b, _ in restored]
+    mi = [m for _, m in restored]
+    part.update_prob_matrices([0] * CATS, mi, bl)
+    trav4 = ut.traverse(tree.root)
+    ops4, blens4, midx4 = ut.create_operations(trav4)
+    part.update_partials(ops4)
+    logl_back = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+    assert logl_back == logl0
+
+
+def test_nni_incremental_matches_full():
+    tree, part = _fresh()
+    logl0 = _full_eval(tree, part)
+    trav = ut.traverse(tree.root)
+    # an inner edge: both endpoints inner
+    edge = next(n for n in trav
+                if not n.is_tip and not n.back.is_tip and n is not tree.root)
+    rb = moves.Rollback(moves.MOVE_NNI)
+    moves.nni(edge, moves.NNI_LEFT, rollback=rb)
+
+    trav2 = ut.traverse(tree.root)
+    ops2, blens2, midx2 = ut.create_operations(trav2)
+    # NNI keeps branch/pmatrix pairings: no P-matrix refresh needed
+    part.update_partials(ops2)
+    r = tree.root
+    logl_nni = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+
+    tree_check = ut.parse_newick_string(ut.export_newick(tree.root))
+    part2 = _fresh()[1]
+    trav3 = ut.traverse(tree_check.root)
+    order = {n.label: n.clv_index for n in trav3 if n.label}
+    for lab in SEQS:
+        part2.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
+    logl_scratch = _full_eval(tree_check, part2)
+    assert abs(logl_nni - logl_scratch) < 1e-9
+
+    moves.rollback_move(rb)
+    trav4 = ut.traverse(tree.root)
+    ops4, _, _ = ut.create_operations(trav4)
+    part.update_partials(ops4)
+    logl_back = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+    assert logl_back == logl0
+
+
+def test_hky_via_gtr_parameterization():
+    """HKY (reference test/src/hky.c): ti/tv ratio k as GTR params
+    [1,k,1,1,k,1]; logL must match the oracle."""
+    import sys
+    sys.path.insert(0, "tests")
+    import oracle
+    if not oracle.available():
+        pytest.skip("no oracle")
+
+    k = 2.5
+    params = [1.0, k, 1.0, 1.0, k, 1.0]
+    freqs = [0.3, 0.25, 0.25, 0.2]
+
+    tree, part = _fresh()
+    part.set_subst_params(0, params)
+    part.set_frequencies(0, freqs)
+    logl = _full_eval(tree, part)
+
+    ref = oracle.RefPartition(TIPS, TIPS - 2, 4, SITES, 1, 2 * TIPS - 3,
+                              CATS, TIPS - 2)
+    trav = ut.traverse(tree.root)
+    order = {n.label: n.clv_index for n in trav if n.label}
+    for lab in SEQS:
+        ref.set_tip_states(order[lab], oracle.map_table("pll_map_nt"),
+                           SEQS[lab])
+    ref.set_frequencies(0, freqs)
+    ref.set_subst_params(0, params)
+    from libpll_tpu.models.gamma import compute_gamma_cats
+    ref.set_category_rates(compute_gamma_cats(0.7, CATS))
+    ops, blens, midx = ut.create_operations(trav)
+    ref.update_prob_matrices([0] * CATS, midx, blens)
+    ref.update_partials([o.as_tuple() for o in ops])
+    r = tree.root
+    ref_logl = ref.edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
+    np.testing.assert_allclose(logl, ref_logl, rtol=1e-10)
