@@ -170,6 +170,27 @@ def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
     return out
 
 
+def pack_tipchars_dyn(tip_masks: np.ndarray, dyn: DynSchedule
+                      ) -> List[jax.Array]:
+    """Per-segment tip slabs as int8 ambiguity bitmasks [r_tip, L]
+    (pattern-tip mode; source: Partition._tip_masks / encode_sequence).
+    int8 keeps a 10k-taxa × 1M-site tip set at ~10 GB HBM."""
+    masks = np.asarray(tip_masks, dtype=np.int8)
+    sites = masks.shape[1]
+    out = []
+    for s in dyn.segments:
+        if s.tip_globals.size:
+            slab = masks[s.tip_globals]
+        else:
+            slab = np.zeros((0, sites), np.int8)
+        pad = dyn.r_tip - slab.shape[0]
+        if pad:
+            slab = np.concatenate(
+                [slab, np.zeros((pad, sites), np.int8)], axis=0)
+        out.append(jnp.asarray(slab))
+    return out
+
+
 def _pack_op_coeff(coeff_ops: jax.Array, w: int) -> Tuple[jax.Array, int]:
     """[n_ops, 2, cs, w] op-ordered roll tables -> lane-packed chunk tiles
     [n_chunks*tiles_per_chunk, cs, 128]; op k of a chunk occupies lanes
@@ -194,16 +215,26 @@ def _pack_op_coeff(coeff_ops: jax.Array, w: int) -> Tuple[jax.Array, int]:
 
 def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
-                   interpret: bool = False):
+                   tip_encoding: str = "clv", interpret: bool = False):
     """Build ``sweep(tip_slabs, tables, m_gathers, pmatrix) -> (inner,
     scalers)`` where ``tables``/``m_gathers`` come from
     :func:`dyn_runtime_args` — all segments run one compiled kernel.
+
+    tip_encoding="chars" is the rebuild's PLL_ATTRIB_PATTERN_TIP
+    (reference `src/pll.c:825-903`): tip slabs are int32 ambiguity
+    bitmasks [r_tip, L] (from :func:`pack_tipchars_dyn`), decoded to 0/1
+    CLV rows in VMEM with bit-shifts — tip HBM traffic and residency drop
+    by 4·C·S bytes -> 4 per site, which is what makes ~10k-taxa × 1M-site
+    partitions fit one chip.
 
     VPU-roll contraction only (DNA-sized states); inner rows are
     segment-major (``dyn.inner_row`` translates level-major ids).
     """
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
         raise ValueError("per-site or no scaling only")
+    if tip_encoding not in ("clv", "chars"):
+        raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+    chars = tip_encoding == "chars"
     cs = rate_cats * states
     w = states
     per = 128 // (2 * w)
@@ -225,7 +256,18 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
 
         @pl.when(chunk == 0)
         def _():
-            state[0:r_tip] = tips_ref[...]
+            if chars:
+                # decode ambiguity bitmasks -> 0/1 CLVs in VMEM: row
+                # s*C + c of a tip is bit s of its mask (state-major
+                # layout; reference set_tipclv bit walk, pll.c:925-931)
+                shift_col = (jax.lax.broadcasted_iota(
+                    jnp.int32, (cs, 1), 0) // rate_cats)
+                for ti in range(r_tip):
+                    ch = tips_ref[pl.ds(ti, 1), :].astype(jnp.int32)
+                    bits = jnp.right_shift(ch, shift_col) & 1
+                    state[ti] = bits.astype(dtype)
+            else:
+                state[0:r_tip] = tips_ref[...]
             state[r_tip:loc0] = imp_ref[...]
             scal[0:r_imp, :] = imp_scal_ref[...]
             scal[dyn.r_imp + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
@@ -269,7 +311,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
 
     @partial(jax.jit, static_argnames=("sites",))
     def one_segment(table, tip_slab, imp, imp_scal, coeff_tiles, sites):
-        dtype = tip_slab.dtype
+        dtype = imp.dtype
         bl = block_sites
         n_blocks = sites // bl
         z = np.int32(0)
@@ -278,8 +320,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
-                             memory_space=pltpu.VMEM),
+                (pl.BlockSpec((r_tip, bl), lambda j, c, t: (z, j),
+                              memory_space=pltpu.VMEM) if chars else
+                 pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
+                              memory_space=pltpu.VMEM)),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp, bl), lambda j, c, t: (z, j),
@@ -310,7 +354,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         )(table, tip_slab, imp, imp_scal, coeff_tiles)
 
     def sweep(tip_slabs, tables, m_gathers, pmatrix):
-        dtype = tip_slabs[0].dtype
+        dtype = pmatrix.dtype
         sites = tip_slabs[0].shape[-1]
         if sites % block_sites:
             raise ValueError(f"sites must divide {block_sites}")
@@ -356,3 +400,342 @@ def dyn_runtime_args(dyn: DynSchedule):
     tables = [jnp.asarray(s.table) for s in dyn.segments]
     m_gathers = [jnp.asarray(s.m_ops) for s in dyn.segments]
     return tables, m_gathers
+
+
+def _export_tables(dyn: DynSchedule):
+    """Per-segment export tables [r_exp, 2] (state row, scaler row), padded
+    with trash reads; plus the (seg, local) -> export position map."""
+    from .clv_pallas_seg import SegmentedSchedule  # noqa: F401 (doc link)
+
+    loc0 = dyn.r_tip + dyn.r_imp
+    sloc0 = dyn.r_imp
+    trash_state = loc0 + dyn.r_loc
+    trash_scal = sloc0 + dyn.r_loc + 1
+
+    per_seg_exports = []
+    for s in dyn.segments:
+        exports = sorted({l for (a, b) in _all_imports(dyn) if False})
+        per_seg_exports.append(exports)
+    # exports = locals referenced by later segments' imports (+ the final
+    # segment's eval rows are accessed as locals there, not via exports)
+    referenced = {}
+    for si, s in enumerate(dyn.segments):
+        for (a, b) in s.imports:
+            referenced.setdefault(a, set()).add(b)
+    r_exp = max(max((len(v) for v in referenced.values()), default=0), 1)
+    tables, pos_of = [], {}
+    for si, s in enumerate(dyn.segments):
+        exports = sorted(referenced.get(si, set()))
+        tab = np.full((r_exp, 2), trash_state, np.int32)
+        tab[:, 1] = trash_scal
+        for i, l in enumerate(exports):
+            tab[i] = (loc0 + l, sloc0 + l)
+            pos_of[(si, l)] = i
+        tables.append(tab)
+    return tables, pos_of, r_exp
+
+
+def _all_imports(dyn):
+    for s in dyn.segments:
+        for imp in s.imports:
+            yield imp
+
+
+def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
+                   edge_matrix: int, scale_mode: int = SCALE_PER_SITE, *,
+                   rate_cats: int, states: int, block_sites: int = 128,
+                   tip_encoding: str = "chars", interpret: bool = False):
+    """Tree-search scoring at unbounded tree size with O(1) compile cost:
+    leaf segments keep all CLVs in VMEM scratch and export only the few
+    subtree-root rows later segments import; the final segment folds the
+    edge log-likelihood into its kernel.  With tip_encoding="chars" the
+    only HBM-resident state is ~1 byte/tip/site — a 10k-taxa × 1M-site
+    partition scores on a single chip.
+
+    Returns ``score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
+    weight_vec, pattern_weights) -> logl`` (see :func:`dyn_score_args`).
+    Same model scope as make_fused_edge_score.
+    """
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+        raise ValueError("per-site or no scaling only")
+    chars = tip_encoding == "chars"
+    cs = rate_cats * states
+    w = states
+    per = 128 // (2 * w)
+    tiles_per_chunk = -(-CHUNK // per)
+    r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
+    n_chunks = dyn.n_chunks
+    loc0 = r_tip + r_imp
+    n_state = loc0 + r_loc + 1
+    sloc0 = r_imp
+    n_scal = sloc0 + r_loc + 2
+    last = len(dyn.segments) - 1
+
+    exp_tabs_np, exp_pos, r_exp = _export_tables(dyn)
+
+    # locate eval rows in the final segment's state space
+    fin = dyn.segments[last]
+
+    def locate(lm, what):
+        if lm < dyn.tips:
+            idx = list(fin.tip_globals).index(lm)
+            return idx, n_scal - 2  # tip: dummy (zero) scaler
+        sseg, sloc = dyn.loc_of[lm - dyn.tips]
+        if sseg == last:
+            return loc0 + sloc, sloc0 + sloc
+        pos = exp_pos[(sseg, sloc)]
+        return r_tip + pos, pos  # import rows
+    p_state, p_scal = locate(parent_lm, "parent")
+    c_state, c_scal = locate(child_lm, "child")
+
+    def decode_tips(tips_ref, state, dtype):
+        if chars:
+            shift_col = (jax.lax.broadcasted_iota(
+                jnp.int32, (cs, 1), 0) // rate_cats)
+            for ti in range(r_tip):
+                ch = tips_ref[pl.ds(ti, 1), :].astype(jnp.int32)
+                state[ti] = (jnp.right_shift(ch, shift_col) & 1).astype(
+                    dtype)
+        else:
+            state[0:r_tip] = tips_ref[...]
+
+    def op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
+                factor, out_cb):
+        base = chunk * CHUNK
+        for k in range(CHUNK):
+            row = base + k
+            p = table_ref[row, 0]
+            c1 = table_ref[row, 1]
+            c2 = table_ref[row, 2]
+            s1 = table_ref[row, 3]
+            s2 = table_ref[row, 4]
+            has = table_ref[row, 5]
+            tile = k // per
+            off = (k % per) * 2 * w
+            a1 = state[c1]
+            a2 = state[c2]
+            left = coeff_ref[tile, :, off:off + 1] * a1
+            right = coeff_ref[tile, :, off + w:off + w + 1] * a2
+            for d in range(1, w):
+                shift = np.int32((cs - d * rate_cats) % cs)
+                left = left + (coeff_ref[tile, :, off + d:off + d + 1]
+                               * pltpu.roll(a1, shift, 0))
+                right = right + (
+                    coeff_ref[tile, :, off + w + d:off + w + d + 1]
+                    * pltpu.roll(a2, shift, 0))
+            x = left * right
+            cnt = scal[pl.ds(s1, 1), :] + scal[pl.ds(s2, 1), :]
+            if scale_mode == SCALE_PER_SITE:
+                mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
+                        & (has > 0))
+                x = jnp.where(mask, x * factor, x)
+                cnt = cnt + mask.astype(jnp.int32)
+            state[p] = x
+            scal[pl.ds(sloc0 + base + k, 1), :] = cnt
+            if out_cb is not None:
+                out_cb(k, x, cnt)
+
+    def leaf_kernel(table_ref, exp_table_ref, tips_ref, imp_ref,
+                    imp_scal_ref, coeff_ref, exp_ref, exp_scal_ref,
+                    state, scal):
+        chunk = pl.program_id(1)
+        dtype = exp_ref.dtype
+        thresh, factor = _scale_consts(dtype)
+        bl = exp_ref.shape[-1]
+
+        @pl.when(chunk == 0)
+        def _():
+            decode_tips(tips_ref, state, dtype)
+            state[r_tip:loc0] = imp_ref[...]
+            scal[0:r_imp, :] = imp_scal_ref[...]
+            scal[sloc0 + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+
+        op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
+                factor, None)
+
+        @pl.when(chunk == n_chunks - 1)
+        def _():
+            for e in range(r_exp):
+                exp_ref[e] = state[exp_table_ref[e, 0]]
+                exp_scal_ref[e:e + 1, :] = scal[
+                    pl.ds(exp_table_ref[e, 1], 1), :]
+
+    def root_kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
+                    edge_coeff_ref, wvec_ref, pw_ref, out_ref, state, scal):
+        chunk = pl.program_id(1)
+        j = pl.program_id(0)
+        dtype = wvec_ref.dtype
+        thresh, factor = _scale_consts(dtype)
+        bl = pw_ref.shape[-1]
+        log_scale = np.asarray(
+            -scale_shift_bits(dtype) * np.log(2.0), dtype)
+
+        @pl.when((j == 0) & (chunk == 0))
+        def _():
+            out_ref[0, 0] = jnp.zeros((), dtype)
+
+        @pl.when(chunk == 0)
+        def _():
+            decode_tips(tips_ref, state, dtype)
+            state[r_tip:loc0] = imp_ref[...]
+            scal[0:r_imp, :] = imp_scal_ref[...]
+            scal[sloc0 + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+
+        op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
+                factor, None)
+
+        @pl.when(chunk == n_chunks - 1)
+        def _():
+            child_row = state[c_state]
+            # edge contraction with the edge matrix in its own [cs, w] tile
+            termb = edge_coeff_ref[0, :, 0:1] * child_row
+            for d in range(1, w):
+                shift = np.int32((cs - d * rate_cats) % cs)
+                termb = termb + (edge_coeff_ref[0, :, d:d + 1]
+                                 * pltpu.roll(child_row, shift, 0))
+            y = state[p_state] * termb * wvec_ref[...]
+            term = jnp.sum(y, axis=0, keepdims=True)
+            snum = scal[pl.ds(p_scal, 1), :] + scal[pl.ds(c_scal, 1), :]
+            lnl = (jnp.log(term)
+                   + snum.astype(dtype) * log_scale) * pw_ref[...]
+            out_ref[0, 0] += jnp.sum(lnl)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("sites",))
+    def leaf_segment(table, exp_table, tip_slab, imp, imp_scal,
+                     coeff_tiles, sites):
+        dtype = imp.dtype
+        bl = block_sites
+        n_blocks = sites // bl
+        z = np.int32(0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks, n_chunks),
+            in_specs=[
+                (pl.BlockSpec((r_tip, bl), lambda j, c, t, e: (z, j),
+                              memory_space=pltpu.VMEM) if chars else
+                 pl.BlockSpec((r_tip, cs, bl),
+                              lambda j, c, t, e: (z, z, j),
+                              memory_space=pltpu.VMEM)),
+                pl.BlockSpec((r_imp, cs, bl), lambda j, c, t, e: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_imp, bl), lambda j, c, t, e: (z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                             lambda j, c, t, e: (c, z, z),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((r_exp, cs, bl), lambda j, c, t, e: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_exp, bl), lambda j, c, t, e: (z, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_state, cs, bl), dtype),
+                pltpu.VMEM((n_scal, bl), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            leaf_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((r_exp, cs, sites), dtype),
+                jax.ShapeDtypeStruct((r_exp, sites), jnp.int32),
+            ],
+            interpret=interpret,
+        )(table, exp_table, tip_slab, imp, imp_scal, coeff_tiles)
+
+    @_partial(jax.jit, static_argnames=("sites",))
+    def root_segment(table, tip_slab, imp, imp_scal, coeff_tiles,
+                     edge_coeff, wvec, pw, sites):
+        dtype = wvec.dtype
+        bl = block_sites
+        n_blocks = sites // bl
+        z = np.int32(0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks, n_chunks),
+            in_specs=[
+                (pl.BlockSpec((r_tip, bl), lambda j, c, t: (z, j),
+                              memory_space=pltpu.VMEM) if chars else
+                 pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
+                              memory_space=pltpu.VMEM)),
+                pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_imp, bl), lambda j, c, t: (z, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                             lambda j, c, t: (c, z, z),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cs, w), lambda j, c, t: (z, z, z),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cs, 1), lambda j, c, t: (z, z),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda j, c, t: (z, z),
+                                   memory_space=pltpu.SMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_state, cs, bl), dtype),
+                pltpu.VMEM((n_scal, bl), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            root_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            interpret=interpret,
+        )(table, tip_slab, imp, imp_scal, coeff_tiles, edge_coeff, wvec, pw)
+
+    def score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
+              weight_vec, pattern_weights):
+        dtype = pmatrix.dtype
+        sites = tip_slabs[0].shape[-1]
+        if sites % block_sites:
+            raise ValueError(f"sites must divide {block_sites}")
+        coeff = roll_coeff_pmatrices(pmatrix)
+        edge_coeff = coeff[edge_matrix][None]  # [1, cs, w]
+
+        seg_exp, seg_exp_scal = [], []
+        for si, s in enumerate(dyn.segments):
+            coeff_ops = coeff[m_gathers[si]]
+            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w)
+            if s.imports:
+                imp = jnp.concatenate(
+                    [seg_exp[a][exp_pos[(a, b)]][None]
+                     for (a, b) in s.imports], axis=0)
+                imp_scal = jnp.concatenate(
+                    [seg_exp_scal[a][exp_pos[(a, b)]][None]
+                     for (a, b) in s.imports], axis=0)
+                pad = r_imp - len(s.imports)
+                if pad:
+                    imp = jnp.concatenate(
+                        [imp, jnp.zeros((pad, cs, sites), dtype)], axis=0)
+                    imp_scal = jnp.concatenate(
+                        [imp_scal, jnp.zeros((pad, sites), jnp.int32)],
+                        axis=0)
+            else:
+                imp = jnp.zeros((r_imp, cs, sites), dtype)
+                imp_scal = jnp.zeros((r_imp, sites), jnp.int32)
+            if si == last:
+                out = root_segment(tables[si], tip_slabs[si], imp,
+                                   imp_scal, coeff_tiles, edge_coeff,
+                                   weight_vec, pattern_weights, sites=sites)
+                return out[0, 0]
+            exp, exp_scal = leaf_segment(tables[si], exp_tables[si],
+                                         tip_slabs[si], imp, imp_scal,
+                                         coeff_tiles, sites=sites)
+            seg_exp.append(exp)
+            seg_exp_scal.append(exp_scal)
+
+    return score
+
+
+def dyn_score_args(dyn: DynSchedule):
+    """(tables, m_gathers, exp_tables) device arrays for make_dyn_score."""
+    tables, m_gathers = dyn_runtime_args(dyn)
+    exp_tabs_np, _, _ = _export_tables(dyn)
+    return tables, m_gathers, [jnp.asarray(x) for x in exp_tabs_np]

@@ -58,3 +58,59 @@ def test_dyn_sweep_matches_xla(newick_fn, tips, max_rows):
         sm = np.abs(a).max(axis=(0, 1), keepdims=True)
         assert (np.abs(a - b) / np.maximum(sm, 1e-300)).max() < 1e-5, r
         assert np.array_equal(sref[r], sgot[dyn.scaler_row(r)]), r
+
+
+def test_dyn_tipchars_matches_clv_encoding():
+    """Pattern-tip mode (int8 ambiguity bitmasks decoded in VMEM) is
+    bit-identical to explicit tip CLVs."""
+    rng = np.random.default_rng(5)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(20, rng), sites=128, seed=5)
+    t = topo.schedule.tips
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=20,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    tables, m_g = cpd.dyn_runtime_args(dyn)
+    slabs = cpd.pack_tips_dyn(clv[:t], dyn, "vpu")
+    sweep = cpd.make_dyn_sweep(dyn, SCALE_PER_SITE, rate_cats=4, states=4,
+                               interpret=True)
+    inner_a, scal_a = sweep(slabs, tables, m_g, pmatrix)
+
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.int32)
+             * (1 << np.arange(4))[:, None][None]).sum(axis=1)
+    slabs_c = cpd.pack_tipchars_dyn(masks, dyn)
+    sweep_c = cpd.make_dyn_sweep(dyn, SCALE_PER_SITE, rate_cats=4,
+                                 states=4, tip_encoding="chars",
+                                 interpret=True)
+    inner_b, scal_b = sweep_c(slabs_c, tables, m_g, pmatrix)
+    assert jnp.array_equal(inner_a, inner_b)
+    assert jnp.array_equal(scal_a, scal_b)
+
+
+def test_dyn_score_matches_forward():
+    """Exports-only leaf segments + in-kernel root logL (the unbounded-size
+    scoring path) matches the XLA forward."""
+    from libpll_tpu.engine.evaluate import make_forward
+
+    rng = np.random.default_rng(5)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(20, rng), sites=128, seed=5)
+    t = topo.schedule.tips
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=20,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    tables, m_g, exp_t = cpd.dyn_score_args(dyn)
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.int32)
+             * (1 << np.arange(4))[:, None][None]).sum(axis=1)
+    slabs_c = cpd.pack_tipchars_dyn(masks, dyn)
+    score = cpd.make_dyn_score(
+        topo_dyn := dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        SCALE_PER_SITE, rate_cats=4, states=4, interpret=True)
+    wvec = cp.pack_weight_vec(model["freqs_pc"], model["rate_weights"],
+                              "vpu")
+    pw = model["pattern_weights"][None, :].astype(jnp.float32)
+    logl = score(slabs_c, tables, m_g, exp_t, pmatrix, wvec, pw)
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
