@@ -277,3 +277,13 @@ def create_pars_recops(trav_buffer: List[RNode]):
         parent = n.parent.clv_index if n.parent is not None else n.clv_index
         ops.append((n.clv_index, parent))
     return ops
+
+
+def query_tipnodes(tree: RTree) -> List[RNode]:
+    """All tip nodes (reference pll_rtree_query_tipnodes)."""
+    return [n for n in tree.nodes if n.left is None]
+
+
+def query_innernodes(tree: RTree) -> List[RNode]:
+    """All inner nodes (reference pll_rtree_query_innernodes)."""
+    return [n for n in tree.nodes if n.left is not None]

@@ -460,3 +460,25 @@ def create_pars_buildops(trav_buffer: List[UNode]):
     (reference `pll_utree_create_pars_buildops`, utree.c:740-763)."""
     return [(n.clv_index, n.next.back.clv_index, n.next.next.back.clv_index)
             for n in trav_buffer if not n.is_tip]
+
+
+def query_tipnodes(tree: UTree) -> List[UNode]:
+    """All tip nodes (reference pll_utree_query_tipnodes)."""
+    return [n for n in tree.nodes if n.is_tip]
+
+
+def query_innernodes(tree: UTree) -> List[UNode]:
+    """All inner nodes, one ring representative each
+    (reference pll_utree_query_innernodes)."""
+    return [n for n in tree.nodes if not n.is_tip]
+
+
+def every(tree: UTree, cb) -> bool:
+    """Apply ``cb`` to every node (all ring members); True iff all calls
+    return truthy (reference pll_utree_every / pll_utree_every_const)."""
+    ok = True
+    for n in tree.nodes:
+        ring = [n] if n.is_tip else list(n.ring())
+        for m in ring:
+            ok = bool(cb(m)) and ok
+    return ok
