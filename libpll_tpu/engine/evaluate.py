@@ -244,6 +244,43 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
     return score
 
 
+def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
+                         tip_masks, interpret: bool = False):
+    """Tree-search scoring for trees of any size (data-driven segmented
+    kernels, O(1) compile cost) with pattern-tip storage: 1 byte/tip/site.
+
+    ``tip_masks``: [tips, sites] integer ambiguity bitmasks
+    (Partition._tip_masks or io.maps.encode_sequence output).
+    Returns ``score(model) -> logl``; tip data is baked at build time
+    (tips are constant after setup).
+    """
+    from ..ops import clv_pallas as cp
+    from ..ops import clv_pallas_dyn as cpd
+
+    if topo.asc_mode:
+        raise ValueError("fused score does not support asc-bias")
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=rate_cats, states=states,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    slabs = cpd.pack_tipchars_dyn(np.asarray(tip_masks), dyn)
+    tables, m_gathers, exp_tables = cpd.dyn_score_args(dyn)
+    score_kernel = cpd.make_dyn_score(
+        dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        topo.scale_mode, rate_cats=rate_cats, states=states,
+        interpret=interpret)
+
+    def score(model):
+        dtype = model["freqs_pc"].dtype
+        pmatrix = _pmatrices(model, topo, dtype)
+        wvec = cp.pack_weight_vec(model["freqs_pc"],
+                                  model["rate_weights"], "vpu")
+        pw = model["pattern_weights"].astype(dtype)[None, :]
+        return score_kernel(slabs, tables, m_gathers, exp_tables, pmatrix,
+                            wvec, pw)
+
+    return score
+
+
 def make_train_step_fused(topo: EvalTopology, rate_cats: int, states: int,
                           impl: str = "auto", interpret: bool = False):
     """Newton branch-length optimization on the fused-Pallas path: fused

@@ -41,6 +41,11 @@ from .clv_pallas_seg import SegmentedSchedule, build_segmented_schedule
 
 CHUNK = 64  # ops per grid step (the unrolled kernel body size)
 
+# JAX tracing of the chunked kernels recurses in Python proportionally to
+# jaxpr size; the default 1000-frame limit trips on large-tree schedules.
+import sys as _sys
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 200000))
+
 
 @dataclass(frozen=True)
 class DynSegment:
@@ -58,8 +63,9 @@ class DynSchedule:
     n_inner: int
     r_tip: int      # uniform tip-slab rows
     r_imp: int      # uniform import rows
-    r_loc: int      # uniform (padded) local rows = n_chunks*CHUNK
+    r_loc: int      # uniform (padded) local rows = n_chunks*chunk
     n_chunks: int
+    chunk: int      # ops per grid step (kernel body size)
     seg_offsets: Tuple[int, ...]  # segment-major inner row offsets
     loc_of: dict    # level-major inner row -> (segment, local)
 
@@ -80,6 +86,7 @@ def _dyn_max_rows(cs: int, itemsize: int, bl: int) -> int:
 def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
                        itemsize: int = 4, block_sites: int = 128,
                        max_rows: Optional[int] = None,
+                       chunk: int = CHUNK,
                        ensure_rows: Sequence[int] = ()) -> DynSchedule:
     """Segment (via clv_pallas_seg) and pad to one uniform kernel shape."""
     cs = rate_cats * states
@@ -93,8 +100,8 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
     r_tip = max(max(len(s.tip_globals) for s in seg.segments), 1)
     r_imp = max(max(len(s.imports) for s in seg.segments), 1)
     r_loc_real = max(s.n_local for s in seg.segments)
-    n_chunks = -(-r_loc_real // CHUNK)
-    r_loc = n_chunks * CHUNK
+    n_chunks = -(-r_loc_real // chunk)
+    r_loc = n_chunks * chunk
 
     # state scratch rows: [0,r_tip) tips | [r_tip,+r_imp) imports |
     # [+,+r_loc) locals | trash (last)
@@ -146,7 +153,7 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
     assert acc == n_inner
 
     return DynSchedule(tuple(dsegs), tips, n_inner, r_tip, r_imp, r_loc,
-                       n_chunks, tuple(offsets), dict(seg.loc_of))
+                       n_chunks, chunk, tuple(offsets), dict(seg.loc_of))
 
 
 def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
@@ -191,25 +198,30 @@ def pack_tipchars_dyn(tip_masks: np.ndarray, dyn: DynSchedule
     return out
 
 
-def _pack_op_coeff(coeff_ops: jax.Array, w: int) -> Tuple[jax.Array, int]:
-    """[n_ops, 2, cs, w] op-ordered roll tables -> lane-packed chunk tiles
-    [n_chunks*tiles_per_chunk, cs, 128]; op k of a chunk occupies lanes
-    [(k % per)·2w, +2w) of tile k // per (left side first)."""
+def _pack_op_coeff(coeff_ops: jax.Array, w: int, chunk: int
+                   ) -> Tuple[jax.Array, int]:
+    """[n_ops_pad, 2, cs, w] op-ordered roll tables -> lane-packed tiles
+    [n_chunks*tiles_per_chunk, cs, 128]; within a chunk, op k occupies
+    lanes [(k % per)·2w, +2w) of the chunk's tile k // per (left side
+    first).  Packing is per-chunk so tile addressing stays aligned for any
+    chunk size."""
     n_ops, _, cs, w_ = coeff_ops.shape
-    assert w_ == w
+    assert w_ == w and n_ops % chunk == 0
     per = 128 // (2 * w)
-    n_tiles = -(-n_ops // per)
-    pad = n_tiles * per - n_ops
+    tiles_per_chunk = -(-chunk // per)
+    n_chunks = n_ops // chunk
+    pad = tiles_per_chunk * per - chunk  # in-chunk padding
+    x = coeff_ops.reshape(n_chunks, chunk, 2, cs, w)
     if pad:
-        coeff_ops = jnp.concatenate(
-            [coeff_ops, jnp.zeros((pad, 2, cs, w), coeff_ops.dtype)], axis=0)
-    # [n_tiles, per, 2, cs, w] -> [n_tiles, cs, per, 2, w]
-    x = coeff_ops.reshape(n_tiles, per, 2, cs, w).transpose(0, 3, 1, 2, 4)
-    x = x.reshape(n_tiles, cs, per * 2 * w)
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_chunks, pad, 2, cs, w), x.dtype)], axis=1)
+    x = x.reshape(n_chunks * tiles_per_chunk, per, 2, cs, w)
+    x = x.transpose(0, 3, 1, 2, 4).reshape(
+        n_chunks * tiles_per_chunk, cs, per * 2 * w)
     lane_pad = 128 - per * 2 * w
     if lane_pad:
         x = jnp.concatenate(
-            [x, jnp.zeros((n_tiles, cs, lane_pad), x.dtype)], axis=2)
+            [x, jnp.zeros((x.shape[0], cs, lane_pad), x.dtype)], axis=2)
     return x, per
 
 
@@ -238,7 +250,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     cs = rate_cats * states
     w = states
     per = 128 // (2 * w)
-    tiles_per_chunk = -(-CHUNK // per)
+    chunk_sz = dyn.chunk
+    tiles_per_chunk = -(-chunk_sz // per)
     r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
     n_chunks = dyn.n_chunks
     loc0 = r_tip + r_imp
@@ -272,8 +285,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             scal[0:r_imp, :] = imp_scal_ref[...]
             scal[dyn.r_imp + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
 
-        base = chunk * CHUNK
-        for k in range(CHUNK):
+        base = chunk * chunk_sz
+        for k in range(chunk_sz):
             row = base + k
             p = table_ref[row, 0]
             c1 = table_ref[row, 1]
@@ -333,9 +346,9 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((CHUNK, cs, bl), lambda j, c, t: (c, z, j),
+                pl.BlockSpec((chunk_sz, cs, bl), lambda j, c, t: (c, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((CHUNK, bl), lambda j, c, t: (c, j),
+                pl.BlockSpec((chunk_sz, bl), lambda j, c, t: (c, j),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -363,7 +376,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         seg_out, seg_scal = [], []
         for si, s in enumerate(dyn.segments):
             coeff_ops = coeff[m_gathers[si]]  # [n_ops_pad, 2, cs, w]
-            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w)
+            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w, chunk_sz)
             if s.imports:
                 imp = jnp.concatenate(
                     [seg_out[a][b][None] for (a, b) in s.imports], axis=0)
@@ -462,7 +475,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     cs = rate_cats * states
     w = states
     per = 128 // (2 * w)
-    tiles_per_chunk = -(-CHUNK // per)
+    chunk_sz = dyn.chunk
+    tiles_per_chunk = -(-chunk_sz // per)
     r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
     n_chunks = dyn.n_chunks
     loc0 = r_tip + r_imp
@@ -501,8 +515,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
     def op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
                 factor, out_cb):
-        base = chunk * CHUNK
-        for k in range(CHUNK):
+        base = chunk * chunk_sz
+        for k in range(chunk_sz):
             row = base + k
             p = table_ref[row, 0]
             c1 = table_ref[row, 1]
@@ -702,7 +716,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         seg_exp, seg_exp_scal = [], []
         for si, s in enumerate(dyn.segments):
             coeff_ops = coeff[m_gathers[si]]
-            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w)
+            coeff_tiles, _ = _pack_op_coeff(coeff_ops, w, chunk_sz)
             if s.imports:
                 imp = jnp.concatenate(
                     [seg_exp[a][exp_pos[(a, b)]][None]

@@ -31,7 +31,7 @@ def test_dyn_sweep_matches_xla(newick_fn, tips, max_rows):
         clv, scalers, pmatrix)
 
     dyn = cpd.build_dyn_schedule(
-        topo.schedule, rate_cats=4, states=4, max_rows=max_rows,
+        topo.schedule, rate_cats=4, states=4, max_rows=max_rows, chunk=8,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     slabs = cpd.pack_tips_dyn(clv[:t], dyn, "vpu")
     tables, m_g = cpd.dyn_runtime_args(dyn)
@@ -68,7 +68,7 @@ def test_dyn_tipchars_matches_clv_encoding():
         _random_tree_newick(20, rng), sites=128, seed=5)
     t = topo.schedule.tips
     dyn = cpd.build_dyn_schedule(
-        topo.schedule, rate_cats=4, states=4, max_rows=20,
+        topo.schedule, rate_cats=4, states=4, max_rows=20, chunk=8,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     tables, m_g = cpd.dyn_runtime_args(dyn)
     slabs = cpd.pack_tips_dyn(clv[:t], dyn, "vpu")
@@ -99,7 +99,7 @@ def test_dyn_score_matches_forward():
     t = topo.schedule.tips
     logl_ref, _ = make_forward(topo)(model, clv, scalers)
     dyn = cpd.build_dyn_schedule(
-        topo.schedule, rate_cats=4, states=4, max_rows=20,
+        topo.schedule, rate_cats=4, states=4, max_rows=20, chunk=8,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     tables, m_g, exp_t = cpd.dyn_score_args(dyn)
     clv_np = np.asarray(clv[:t])
