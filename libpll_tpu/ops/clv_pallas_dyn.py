@@ -179,22 +179,25 @@ def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
 
 def pack_tipchars_dyn(tip_masks: np.ndarray, dyn: DynSchedule
                       ) -> List[jax.Array]:
-    """Per-segment tip slabs as int8 ambiguity bitmasks [r_tip, L]
-    (pattern-tip mode; source: Partition._tip_masks / encode_sequence).
-    int8 keeps a 10k-taxa × 1M-site tip set at ~10 GB HBM."""
-    masks = np.asarray(tip_masks, dtype=np.int8)
+    """Per-segment tip slabs as nibble-packed int32 words
+    [ceil(r_tip/8), L]: word row g holds the 4-bit IUPAC ambiguity codes of
+    tips 8g..8g+7 (pattern-tip mode; source: Partition._tip_masks /
+    encode_sequence).  0.5 byte/tip/site — a 10k-taxa × 1M-site tip set is
+    ~5 GB HBM.  (int32 because Mosaic cannot lower int8→int32 converts.)"""
+    masks = np.asarray(tip_masks, dtype=np.uint32)
+    if masks.max() > 0xF:
+        raise ValueError("tipchars mode supports 4-bit codes (states<=4)")
     sites = masks.shape[1]
+    words = -(-dyn.r_tip // 8)
     out = []
     for s in dyn.segments:
+        slab = np.zeros((words * 8, sites), np.uint32)
         if s.tip_globals.size:
-            slab = masks[s.tip_globals]
-        else:
-            slab = np.zeros((0, sites), np.int8)
-        pad = dyn.r_tip - slab.shape[0]
-        if pad:
-            slab = np.concatenate(
-                [slab, np.zeros((pad, sites), np.int8)], axis=0)
-        out.append(jnp.asarray(slab))
+            slab[:len(s.tip_globals)] = masks[s.tip_globals]
+        packed = np.zeros((words, sites), np.uint32)
+        for k in range(8):
+            packed |= slab[k::8][:words] << np.uint32(4 * k)
+        out.append(jnp.asarray(packed.astype(np.int32)))
     return out
 
 
@@ -270,14 +273,17 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         @pl.when(chunk == 0)
         def _():
             if chars:
-                # decode ambiguity bitmasks -> 0/1 CLVs in VMEM: row
-                # s*C + c of a tip is bit s of its mask (state-major
-                # layout; reference set_tipclv bit walk, pll.c:925-931)
+                # decode nibble-packed ambiguity codes -> 0/1 CLVs in
+                # VMEM: row s*C + c of a tip is bit s of its 4-bit code
+                # (state-major layout; reference set_tipclv bit walk,
+                # pll.c:925-931)
                 shift_col = (jax.lax.broadcasted_iota(
                     jnp.int32, (cs, 1), 0) // rate_cats)
                 for ti in range(r_tip):
-                    ch = tips_ref[pl.ds(ti, 1), :].astype(jnp.int32)
-                    bits = jnp.right_shift(ch, shift_col) & 1
+                    word = tips_ref[pl.ds(ti // 8, 1), :]
+                    code = jnp.right_shift(word,
+                                           np.int32(4 * (ti % 8))) & 0xF
+                    bits = jnp.right_shift(code, shift_col) & 1
                     state[ti] = bits.astype(dtype)
             else:
                 state[0:r_tip] = tips_ref[...]
@@ -333,7 +339,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((r_tip, bl), lambda j, c, t: (z, j),
+                (pl.BlockSpec((-(-r_tip // 8), bl),
+                              lambda j, c, t: (z, j),
                               memory_space=pltpu.VMEM) if chars else
                  pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
                               memory_space=pltpu.VMEM)),
@@ -507,8 +514,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             shift_col = (jax.lax.broadcasted_iota(
                 jnp.int32, (cs, 1), 0) // rate_cats)
             for ti in range(r_tip):
-                ch = tips_ref[pl.ds(ti, 1), :].astype(jnp.int32)
-                state[ti] = (jnp.right_shift(ch, shift_col) & 1).astype(
+                word = tips_ref[pl.ds(ti // 8, 1), :]
+                code = jnp.right_shift(word, np.int32(4 * (ti % 8))) & 0xF
+                state[ti] = (jnp.right_shift(code, shift_col) & 1).astype(
                     dtype)
         else:
             state[0:r_tip] = tips_ref[...]
@@ -627,7 +635,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=2,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((r_tip, bl), lambda j, c, t, e: (z, j),
+                (pl.BlockSpec((-(-r_tip // 8), bl),
+                              lambda j, c, t, e: (z, j),
                               memory_space=pltpu.VMEM) if chars else
                  pl.BlockSpec((r_tip, cs, bl),
                               lambda j, c, t, e: (z, z, j),
@@ -672,7 +681,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((r_tip, bl), lambda j, c, t: (z, j),
+                (pl.BlockSpec((-(-r_tip // 8), bl),
+                              lambda j, c, t: (z, j),
                               memory_space=pltpu.VMEM) if chars else
                  pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
                               memory_space=pltpu.VMEM)),
