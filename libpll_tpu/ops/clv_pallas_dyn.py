@@ -276,14 +276,18 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                 # decode nibble-packed ambiguity codes -> 0/1 CLVs in
                 # VMEM: row s*C + c of a tip is bit s of its 4-bit code
                 # (state-major layout; reference set_tipclv bit walk,
-                # pll.c:925-931)
-                shift_col = (jax.lax.broadcasted_iota(
-                    jnp.int32, (cs, 1), 0) // rate_cats)
+                # pll.c:925-931).  Scalar shifts only: Mosaic's
+                # vector-shift-by-vector lowering recurses under x64.
                 for ti in range(r_tip):
                     word = tips_ref[pl.ds(ti // 8, 1), :]
                     code = jnp.right_shift(word,
                                            np.int32(4 * (ti % 8))) & 0xF
-                    bits = jnp.right_shift(code, shift_col) & 1
+                    bl_ = code.shape[-1]
+                    bits = jnp.concatenate(
+                        [jnp.broadcast_to(
+                            jnp.right_shift(code, np.int32(s)) & 1,
+                            (rate_cats, bl_)) for s in range(states)],
+                        axis=0)
                     state[ti] = bits.astype(dtype)
             else:
                 state[0:r_tip] = tips_ref[...]
@@ -511,13 +515,16 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
     def decode_tips(tips_ref, state, dtype):
         if chars:
-            shift_col = (jax.lax.broadcasted_iota(
-                jnp.int32, (cs, 1), 0) // rate_cats)
+            # scalar shifts only (see sweep kernel note)
             for ti in range(r_tip):
                 word = tips_ref[pl.ds(ti // 8, 1), :]
                 code = jnp.right_shift(word, np.int32(4 * (ti % 8))) & 0xF
-                state[ti] = (jnp.right_shift(code, shift_col) & 1).astype(
-                    dtype)
+                bl_ = code.shape[-1]
+                bits = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.right_shift(code, np.int32(s)) & 1,
+                        (rate_cats, bl_)) for s in range(states)], axis=0)
+                state[ti] = bits.astype(dtype)
         else:
             state[0:r_tip] = tips_ref[...]
 
