@@ -114,3 +114,20 @@ def test_dyn_score_matches_forward():
     pw = model["pattern_weights"][None, :].astype(jnp.float32)
     logl = score(slabs_c, tables, m_g, exp_t, pmatrix, wvec, pw)
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
+
+
+def test_engine_unbounded_score():
+    """make_score_unbounded: pattern-tip scoring behind one engine call."""
+    from libpll_tpu.engine.evaluate import make_forward, make_score_unbounded
+
+    rng = np.random.default_rng(5)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(20, rng), sites=128, seed=5)
+    t = topo.schedule.tips
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.int32)
+             * (1 << np.arange(4))[:, None][None]).sum(axis=1)
+    score = make_score_unbounded(topo, 4, 4, masks, interpret=True)
+    np.testing.assert_allclose(float(score(model)), float(logl_ref),
+                               rtol=2e-6)
