@@ -362,13 +362,21 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
     rolls + FMAs in state-major layout — faster for small state counts
     where a K=C·S matmul underutilizes the MXU.  "auto" picks vpu for
     DNA-sized states, mxu otherwise.
+
+    scale_mode=SCALE_PER_RATE (the reference's PLL_ATTRIB_RATE_SCALERS)
+    keeps one counter per (site, rate); the returned scalers are then
+    [n_inner + 1, C, L] int32.  The per-rate all-below-threshold test is a
+    cyclic roll-max within each rate group (vpu layout) or a static
+    group-slice max (mxu layout).
     """
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
-        raise ValueError("fused sweep supports per-site or no scaling only")
+    from ..utils.constants import SCALE_PER_RATE
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
+        raise ValueError(f"unsupported scale mode {scale_mode}")
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
     if impl not in ("mxu", "vpu"):
         raise ValueError(f"unknown impl {impl!r}")
+    per_rate = scale_mode == SCALE_PER_RATE
 
     tips, n_inner = schedule.tips, schedule.n_inner
     dummy = n_inner
@@ -397,6 +405,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
         n_blocks = sites // bl
 
         contract = make_contract(impl, states, rate_cats, dtype)
+        srows = rate_cats if per_rate else 1  # scaler rows per node
 
         def kernel(tips_ref, coeff_ref, inner_ref, scaler_ref):
             def child(idx):
@@ -405,10 +414,31 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
 
             def scaler_rows(row):
                 if row == dummy:
-                    return jnp.zeros((1, bl), jnp.int32)
-                return scaler_ref[row:row + 1, :]
+                    return jnp.zeros((srows, bl), jnp.int32)
+                return scaler_ref[row * srows:(row + 1) * srows, :]
 
-            scaler_ref[dummy:dummy + 1, :] = jnp.zeros((1, bl), jnp.int32)
+            def rate_mask(x):
+                # per-rate all-below-threshold: max within each rate group
+                if impl == "vpu":
+                    # state-major rows: a roll by k*C stays in the group
+                    m = x
+                    for k in range(1, states):
+                        m = jnp.maximum(
+                            m, pltpu.roll(x, np.int32(k * rate_cats), 0))
+                    full = m < thresh          # [cs, bl], equal per group
+                    perr = full[0:rate_cats]   # s=0 rows: one per rate
+                    return full, perr
+                parts = [jnp.max(x[c * states:(c + 1) * states],
+                                 axis=0, keepdims=True)
+                         for c in range(rate_cats)]
+                perr = jnp.concatenate(parts, axis=0) < thresh  # [C, bl]
+                full = jnp.concatenate(
+                    [jnp.broadcast_to(perr[c:c + 1], (states, bl))
+                     for c in range(rate_cats)], axis=0)
+                return full, perr
+
+            scaler_ref[dummy * srows:(dummy + 1) * srows, :] = (
+                jnp.zeros((srows, bl), jnp.int32))
             for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
                 x = (contract(coeff_ref, m1, child(c1))
                      * contract(coeff_ref, m2, child(c2)))
@@ -419,8 +449,12 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                     mask = jnp.max(x, axis=0, keepdims=True) < thresh
                     x = jnp.where(mask, x * factor, x)
                     cnt = cnt + mask.astype(jnp.int32)
+                elif per_rate and has:
+                    full, perr = rate_mask(x)
+                    x = jnp.where(full, x * factor, x)
+                    cnt = cnt + perr.astype(jnp.int32)
                 inner_ref[prow] = x
-                scaler_ref[prow:prow + 1, :] = cnt
+                scaler_ref[prow * srows:(prow + 1) * srows, :] = cnt
 
         flops = 2 * len(ops) * 2 * cs * cs * sites
         bytes_accessed = ((tips + n_inner) * cs * sites * itemsize
@@ -448,12 +482,14 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
             out_specs=[
                 pl.BlockSpec((n_inner, cs, bl), lambda j: (z, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_inner + 1, bl), lambda j: (z, j),
+                pl.BlockSpec(((n_inner + 1) * srows, bl),
+                             lambda j: (z, j),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_inner, cs, sites), dtype),
-                jax.ShapeDtypeStruct((n_inner + 1, sites), jnp.int32),
+                jax.ShapeDtypeStruct(((n_inner + 1) * srows, sites),
+                                     jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=bytes_accessed,
@@ -462,6 +498,8 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
             interpret=interpret,
         )(tips_packed, coeff)
 
+        if per_rate:
+            scalers = scalers.reshape(n_inner + 1, rate_cats, sites)
         return inner2d, scalers
 
     return sweep

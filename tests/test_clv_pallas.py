@@ -248,3 +248,29 @@ def test_fused_train_step_matches():
     logl, tstar = step(model, cp.pack_tips(clv[:t], "mxu"))
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
     np.testing.assert_allclose(float(tstar), float(tstar_ref), rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["mxu", "vpu"])
+def test_fused_sweep_per_rate_scaling(impl):
+    """PLL_ATTRIB_RATE_SCALERS on the fused path: per-(site,rate) counters
+    must match the XLA per-rate sweep exactly (deep caterpillar forces
+    many events)."""
+    from libpll_tpu.utils.constants import SCALE_PER_RATE
+
+    topo, pmatrix, clv, _ = _setup(_caterpillar_newick(64), 128, 4, 4,
+                                   SCALE_PER_RATE, jnp.float32, seed=1)
+    tips = topo.schedule.tips
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, 4, 128), jnp.int32)
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, SCALE_PER_RATE)(
+        clv, scalers, pmatrix)
+    assert int(np.asarray(scal_ref)[:-1].sum()) > 10000
+
+    sweep = cp.make_fused_sweep(topo.schedule, SCALE_PER_RATE, impl=impl,
+                                rate_cats=4, states=4, block_sites=128,
+                                interpret=True)
+    inner, scal = sweep(cp.pack_tips(clv[:tips], impl), pmatrix)
+    got = np.asarray(cp.unpack_clv(inner, 4, 4, impl))
+    ref = np.asarray(clv_ref[tips:])
+    sm = np.abs(ref).max(axis=(1, 2), keepdims=True)
+    assert (np.abs(ref - got) / np.maximum(sm, 1e-300)).max() < 1e-5
+    assert np.array_equal(np.asarray(scal_ref), np.asarray(scal))
