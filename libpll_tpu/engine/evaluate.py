@@ -87,6 +87,54 @@ def _pmatrices(model, topo, dtype):
     return pmatrix.at[jnp.asarray(topo.matrix_indices)].set(pmat)
 
 
+def model_from_partition(partition, branches, params_indices=None,
+                         dtype=None):
+    """Assemble the traced model dict for the make_* pipelines from a
+    Partition's parameter state (the step-by-step API's counterpart of
+    the reference's partition fields).
+
+    ``branches``: branch lengths in traversal order (from
+    create_operations).  ``params_indices``: per-category rate-matrix
+    indices (defaults to all zeros).  ``dtype`` defaults to float32 (the
+    fused kernels' fast path).
+    """
+    from ..models.gtr import eigen_decompose
+
+    dtype = dtype or jnp.float32
+    C = partition.rate_cats
+    pidx = np.zeros(C, np.int32) if params_indices is None else \
+        np.asarray(params_indices, np.int32)
+
+    evals, lefts, rights = [], [], []
+    for k in range(partition.rate_matrices):
+        w, left, right = eigen_decompose(partition.subst_params[k],
+                                         partition.frequencies[k])
+        evals.append(w)
+        lefts.append(left)
+        rights.append(right)
+
+    freqs_pc = np.stack([partition.frequencies[i] for i in pidx])
+    pinv_pc = np.asarray([partition.prop_invar[i] for i in pidx])
+    invariant = (np.asarray(partition.invariant)
+                 if getattr(partition, "invariant", None) is not None
+                 else np.full(partition.sites_alloc, -1, np.int32))
+
+    return {
+        "branch_lengths": jnp.asarray(branches, dtype),
+        "rates": jnp.asarray(partition.rates, dtype),
+        "prop_invar": jnp.asarray(partition.prop_invar, dtype),
+        "params_indices": jnp.asarray(pidx),
+        "eigenvals": jnp.asarray(np.stack(evals), dtype),
+        "left": jnp.asarray(np.stack(lefts), dtype),
+        "right": jnp.asarray(np.stack(rights), dtype),
+        "freqs_pc": jnp.asarray(freqs_pc, dtype),
+        "prop_invar_pc": jnp.asarray(pinv_pc, dtype),
+        "rate_weights": jnp.asarray(partition.rate_weights, dtype),
+        "pattern_weights": jnp.asarray(partition.pattern_weights, dtype),
+        "invariant": jnp.asarray(invariant, jnp.int32),
+    }
+
+
 def make_forward(topo: EvalTopology):
     """Build ``forward(model, clv, scalers) -> (logl, persite)``.
 

@@ -274,3 +274,42 @@ def test_fused_sweep_per_rate_scaling(impl):
     sm = np.abs(ref).max(axis=(1, 2), keepdims=True)
     assert (np.abs(ref - got) / np.maximum(sm, 1e-300)).max() < 1e-5
     assert np.array_equal(np.asarray(scal_ref), np.asarray(scal))
+
+
+def test_model_from_partition_bridge():
+    """model_from_partition: the fused-pipeline model dict built from a
+    Partition reproduces the step-by-step API's logL exactly."""
+    import libpll_tpu as pll
+    from libpll_tpu.engine.evaluate import (make_forward,
+                                            model_from_partition)
+
+    tree = ut.parse_newick_string(
+        "((A:0.1,B:0.2):0.3,(C:0.4,D:0.5):0.6,E:0.7);")
+    seqs = {"A": "ACGTACGTACGTACGT", "B": "ACGTACGTTCGTACGA",
+            "C": "ACGAACGTACGAACGT", "D": "CCGTACGTACGTACTT",
+            "E": "ACGTACGGACGTACGT"}
+    part = pll.Partition(5, 3, 4, 16, 1, 7, 4, 3)
+    trav = ut.traverse(tree.root)
+    order = {n.label: n.clv_index for n in trav if n.label}
+    for lab in sorted(seqs):
+        part.set_tip_states(order[lab], pll.maps.pll_map_nt, seqs[lab])
+    part.set_frequencies(0, [0.3, 0.25, 0.25, 0.2])
+    part.set_subst_params(0, [1.2, 2.4, 0.9, 1.1, 3.0, 1.0])
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices([0] * 4, midx, blens)
+    part.update_partials(ops)
+    r = tree.root
+    logl_api = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index,
+        r.back.scaler_index, r.pmatrix_index, [0] * 4)
+
+    topo, branches = topology_from_tree(tree, 16)
+    model = model_from_partition(part, branches, dtype=jnp.float64)
+    lm = np.zeros((part.clv.shape[0],), np.int64)
+    for orig, row in topo.schedule.clv_map.items():
+        lm[row] = orig
+    clv_lm = jnp.asarray(part.clv)[jnp.asarray(lm)]
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, 16), jnp.int32)
+    logl_fwd, _ = make_forward(topo)(model, clv_lm, scalers)
+    assert abs(logl_api - float(logl_fwd)) < 1e-9
