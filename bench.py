@@ -22,8 +22,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 # libpll AVX2, 1 core, this machine (see BASELINE.md "measured baseline")
 BASELINE_CLV_UPDATES_PER_SEC = 100.9e6
 

@@ -14,7 +14,6 @@ states are reconstructed pre-order with the reference's parent-tiebreak rule
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

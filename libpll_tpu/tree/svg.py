@@ -11,7 +11,7 @@ generation — no device work.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 from .utree import UNode, UTree

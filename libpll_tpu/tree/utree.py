@@ -19,7 +19,7 @@ reuses the index of the root's back node).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 from ..errors import NewickError, TreeError
