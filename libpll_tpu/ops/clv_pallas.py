@@ -25,8 +25,8 @@ sum of its children's (`fill_parent_scaler`, `core_partials.c:24-46`).
 Counter bookkeeping mirrors ops/sweep.py row-for-row so outputs are
 bit-comparable between the two paths.
 
-Supported configuration: per-site or no scaling (per-rate scaling stays on
-the XLA path), any states/rate_cats, sites divisible by the block size.
+Supported configuration: per-site, per-rate, or no scaling; any
+states/rate_cats; sites divisible by the block size.
 ``fused_sweep_supported`` reports applicability; callers fall back to the
 XLA sweep otherwise.
 """
@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.constants import (SCALE_NONE, SCALE_PER_SITE,
+from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
                                scale_shift_bits)
 from .clv import _scale_consts
 from .sweep import LevelSchedule
@@ -193,12 +193,81 @@ def unpack_clv(packed: jax.Array, rate_cats: int, states: int,
 def fused_sweep_supported(schedule: LevelSchedule, scale_mode: int,
                           rate_cats: int, states: int, sites: int,
                           itemsize: int = 4) -> bool:
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
         return False
+    srows = rate_cats if scale_mode == SCALE_PER_RATE else 1
     n_nodes = schedule.tips + schedule.n_inner
     bl = _pick_block_sites(n_nodes, rate_cats * states, sites, itemsize,
-                           schedule.n_inner + 1)
+                           (schedule.n_inner + 1) * srows)
     return bl is not None
+
+
+def make_rate_mask(impl: str, states: int, rate_cats: int):
+    """Per-rate all-below-threshold test for one [C*S, bl] block in the row
+    layout of ``impl``: returns ``mask(x, thresh) -> (full, perr)`` with
+    ``full`` [C*S, bl] bool (equal within each rate group) and ``perr``
+    [C, bl] bool (one row per rate category, rate-major).
+
+    vpu layout (state-major rows s*C+c): a cyclic sublane roll by k*C stays
+    inside the rate group, so the group max is a max over S rolls and rows
+    0..C-1 (s=0) hold one entry per rate.  mxu layout (rate-major rows
+    c*S+s): static group-slice max.  Reference semantics:
+    PLL_ATTRIB_RATE_SCALERS, `src/core_partials.c:633-644`.
+    """
+    def mask_vpu(x, thresh):
+        m = x
+        for k in range(1, states):
+            m = jnp.maximum(m, pltpu.roll(x, np.int32(k * rate_cats), 0))
+        full = m < thresh
+        return full, full[0:rate_cats]
+
+    def mask_mxu(x, thresh):
+        bl = x.shape[-1]
+        parts = [jnp.max(x[c * states:(c + 1) * states],
+                         axis=0, keepdims=True)
+                 for c in range(rate_cats)]
+        perr = jnp.concatenate(parts, axis=0) < thresh  # [C, bl]
+        full = jnp.concatenate(
+            [jnp.broadcast_to(perr[c:c + 1], (states, bl))
+             for c in range(rate_cats)], axis=0)
+        return full, perr
+
+    return mask_vpu if impl == "vpu" else mask_mxu
+
+
+def make_rate_sum(impl: str, states: int, rate_cats: int):
+    """Per-rate row sums of one [C*S, bl] block: ``rsum(y) -> [C, bl]``
+    (rate-major rows), the in-kernel reduction needed before the per-rate
+    scaler fold.  Same roll/slice duality as :func:`make_rate_mask`."""
+    def sum_vpu(y):
+        acc = y
+        for k in range(1, states):
+            acc = acc + pltpu.roll(y, np.int32(k * rate_cats), 0)
+        return acc[0:rate_cats]
+
+    def sum_mxu(y):
+        return jnp.concatenate(
+            [jnp.sum(y[c * states:(c + 1) * states], axis=0, keepdims=True)
+             for c in range(rate_cats)], axis=0)
+
+    return sum_vpu if impl == "vpu" else sum_mxu
+
+
+def fold_rate_scalers_inkernel(term_r, snum, down):
+    """In-kernel min/cap fold of per-rate scalers (reference
+    `src/core_likelihood.c:916-941`): the per-site common part is the
+    minimum over rates; the per-rate remainder, capped at
+    SCALE_RATE_MAXDIFF, multiplies the per-rate term by ``down`` (the
+    2**-shift downshift — i.e. the scaling *threshold*, an exact power of
+    two) that many times.  term_r/snum: [C, bl].
+    Returns (folded term_r, site minimum [1, bl])."""
+    from ..utils.constants import SCALE_RATE_MAXDIFF
+
+    site = jnp.min(snum, axis=0, keepdims=True)
+    diff = jnp.minimum(snum - site, SCALE_RATE_MAXDIFF)
+    for k in range(1, SCALE_RATE_MAXDIFF + 1):
+        term_r = jnp.where(diff >= k, term_r * down, term_r)
+    return term_r, site
 
 
 def pack_weight_vec(freqs_pc: jax.Array, rate_weights: jax.Array,
@@ -369,7 +438,6 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
     cyclic roll-max within each rate group (vpu layout) or a static
     group-slice max (mxu layout).
     """
-    from ..utils.constants import SCALE_PER_RATE
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
         raise ValueError(f"unsupported scale mode {scale_mode}")
     if impl == "auto":
@@ -391,7 +459,8 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
         itemsize = np.dtype(dtype).itemsize
 
         bl = block_sites or _pick_block_sites(
-            tips + n_inner, cs, sites, itemsize, n_inner + 1)
+            tips + n_inner, cs, sites, itemsize,
+            (n_inner + 1) * (rate_cats if per_rate else 1))
         if bl is None or sites % bl != 0:
             raise ValueError(
                 f"no viable site block for {tips + n_inner} nodes x {cs} "
@@ -406,6 +475,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
 
         contract = make_contract(impl, states, rate_cats, dtype)
         srows = rate_cats if per_rate else 1  # scaler rows per node
+        rate_mask_fn = make_rate_mask(impl, states, rate_cats)
 
         def kernel(tips_ref, coeff_ref, inner_ref, scaler_ref):
             def child(idx):
@@ -416,26 +486,6 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                 if row == dummy:
                     return jnp.zeros((srows, bl), jnp.int32)
                 return scaler_ref[row * srows:(row + 1) * srows, :]
-
-            def rate_mask(x):
-                # per-rate all-below-threshold: max within each rate group
-                if impl == "vpu":
-                    # state-major rows: a roll by k*C stays in the group
-                    m = x
-                    for k in range(1, states):
-                        m = jnp.maximum(
-                            m, pltpu.roll(x, np.int32(k * rate_cats), 0))
-                    full = m < thresh          # [cs, bl], equal per group
-                    perr = full[0:rate_cats]   # s=0 rows: one per rate
-                    return full, perr
-                parts = [jnp.max(x[c * states:(c + 1) * states],
-                                 axis=0, keepdims=True)
-                         for c in range(rate_cats)]
-                perr = jnp.concatenate(parts, axis=0) < thresh  # [C, bl]
-                full = jnp.concatenate(
-                    [jnp.broadcast_to(perr[c:c + 1], (states, bl))
-                     for c in range(rate_cats)], axis=0)
-                return full, perr
 
             scaler_ref[dummy * srows:(dummy + 1) * srows, :] = (
                 jnp.zeros((srows, bl), jnp.int32))
@@ -450,7 +500,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                     x = jnp.where(mask, x * factor, x)
                     cnt = cnt + mask.astype(jnp.int32)
                 elif per_rate and has:
-                    full, perr = rate_mask(x)
+                    full, perr = rate_mask_fn(x, thresh)
                     x = jnp.where(full, x * factor, x)
                     cnt = cnt + perr.astype(jnp.int32)
                 inner_ref[prow] = x

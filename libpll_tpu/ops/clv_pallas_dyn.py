@@ -33,10 +33,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.constants import (SCALE_NONE, SCALE_PER_SITE,
+from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
                                scale_shift_bits)
 from .clv import _scale_consts
-from .clv_pallas import _VMEM_BUDGET, roll_coeff_pmatrices
+from .clv_pallas import (_VMEM_BUDGET, fold_rate_scalers_inkernel,
+                         make_rate_mask, make_rate_sum,
+                         roll_coeff_pmatrices)
 from .clv_pallas_seg import SegmentedSchedule, build_segmented_schedule
 
 CHUNK = 64  # ops per grid step (the unrolled kernel body size)
@@ -244,9 +246,14 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
 
     VPU-roll contraction only (DNA-sized states); inner rows are
     segment-major (``dyn.inner_row`` translates level-major ids).
+
+    scale_mode=SCALE_PER_RATE keeps one counter per (site, rate): every
+    scaler array holds ``C`` node-major rows per node and the returned
+    scalers are [n_inner + 1, C, L] int32 (reference
+    PLL_ATTRIB_RATE_SCALERS, `src/core_partials.c:633-644`).
     """
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
-        raise ValueError("per-site or no scaling only")
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
+        raise ValueError(f"unsupported scale mode {scale_mode}")
     if tip_encoding not in ("clv", "chars"):
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
     chars = tip_encoding == "chars"
@@ -260,7 +267,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     loc0 = r_tip + r_imp
     n_state = loc0 + r_loc + 1
     sloc0 = r_imp
-    n_scal = sloc0 + r_loc + 2  # + dummy + trash
+    n_scal = sloc0 + r_loc + 2  # + dummy + trash (node units)
+    per_rate = scale_mode == SCALE_PER_RATE
+    srows = rate_cats if per_rate else 1  # scaler rows per node
+    rate_mask = make_rate_mask("vpu", states, rate_cats)
 
     def kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
                out_ref, out_scal_ref, state, scal):
@@ -292,8 +302,9 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             else:
                 state[0:r_tip] = tips_ref[...]
             state[r_tip:loc0] = imp_ref[...]
-            scal[0:r_imp, :] = imp_scal_ref[...]
-            scal[dyn.r_imp + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+            scal[0:r_imp * srows, :] = imp_scal_ref[...]
+            scal[(sloc0 + r_loc) * srows:, :] = jnp.zeros(
+                (2 * srows, bl), jnp.int32)
 
         base = chunk * chunk_sz
         for k in range(chunk_sz):
@@ -319,16 +330,22 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                     coeff_ref[tile, :, off + w + d:off + w + d + 1]
                     * pltpu.roll(a2, shift, 0))
             x = left * right
-            cnt = scal[pl.ds(s1, 1), :] + scal[pl.ds(s2, 1), :]
+            cnt = (scal[pl.ds(s1 * srows, srows), :]
+                   + scal[pl.ds(s2 * srows, srows), :])
             if scale_mode == SCALE_PER_SITE:
                 mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
                         & (has > 0))
                 x = jnp.where(mask, x * factor, x)
                 cnt = cnt + mask.astype(jnp.int32)
+            elif per_rate:
+                full, perr = rate_mask(x, thresh)
+                full = full & (has > 0)
+                x = jnp.where(full, x * factor, x)
+                cnt = cnt + (perr & (has > 0)).astype(jnp.int32)
             state[p] = x
-            scal[pl.ds(sloc0 + base + k, 1), :] = cnt
+            scal[pl.ds((sloc0 + base + k) * srows, srows), :] = cnt
             out_ref[k] = x
-            out_scal_ref[k:k + 1, :] = cnt
+            out_scal_ref[k * srows:(k + 1) * srows, :] = cnt
 
     from functools import partial
 
@@ -350,7 +367,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                               memory_space=pltpu.VMEM)),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_imp, bl), lambda j, c, t: (z, j),
+                pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tiles_per_chunk, cs, 128),
                              lambda j, c, t: (c, z, z),
@@ -359,12 +376,12 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             out_specs=[
                 pl.BlockSpec((chunk_sz, cs, bl), lambda j, c, t: (c, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk_sz, bl), lambda j, c, t: (c, j),
+                pl.BlockSpec((chunk_sz * srows, bl), lambda j, c, t: (c, j),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
-                pltpu.VMEM((n_scal, bl), jnp.int32),
+                pltpu.VMEM((n_scal * srows, bl), jnp.int32),
             ],
         )
         return pl.pallas_call(
@@ -372,7 +389,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((r_loc, cs, sites), dtype),
-                jax.ShapeDtypeStruct((r_loc, sites), jnp.int32),
+                jax.ShapeDtypeStruct((r_loc * srows, sites), jnp.int32),
             ],
             interpret=interpret,
         )(table, tip_slab, imp, imp_scal, coeff_tiles)
@@ -392,17 +409,19 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                 imp = jnp.concatenate(
                     [seg_out[a][b][None] for (a, b) in s.imports], axis=0)
                 imp_scal = jnp.concatenate(
-                    [seg_scal[a][b][None] for (a, b) in s.imports], axis=0)
+                    [seg_scal[a][b * srows:(b + 1) * srows]
+                     for (a, b) in s.imports], axis=0)
                 pad = r_imp - len(s.imports)
                 if pad:
                     imp = jnp.concatenate(
                         [imp, jnp.zeros((pad, cs, sites), dtype)], axis=0)
                     imp_scal = jnp.concatenate(
-                        [imp_scal, jnp.zeros((pad, sites), jnp.int32)],
+                        [imp_scal,
+                         jnp.zeros((pad * srows, sites), jnp.int32)],
                         axis=0)
             else:
                 imp = jnp.zeros((r_imp, cs, sites), dtype)
-                imp_scal = jnp.zeros((r_imp, sites), jnp.int32)
+                imp_scal = jnp.zeros((r_imp * srows, sites), jnp.int32)
             loc, scal = one_segment(tables[si], tip_slabs[si], imp,
                                     imp_scal, coeff_tiles, sites=sites)
             seg_out.append(loc)
@@ -411,8 +430,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         inner = jnp.concatenate(
             [o[:s.n_local] for o, s in zip(seg_out, dyn.segments)], axis=0)
         scalers = jnp.concatenate(
-            [o[:s.n_local] for o, s in zip(seg_scal, dyn.segments)]
-            + [jnp.zeros((1, sites), jnp.int32)], axis=0)
+            [o[:s.n_local * srows] for o, s in zip(seg_scal, dyn.segments)]
+            + [jnp.zeros((srows, sites), jnp.int32)], axis=0)
+        if per_rate:
+            scalers = scalers.reshape(dyn.n_inner + 1, srows, sites)
         return inner, scalers
 
     return sweep
@@ -478,10 +499,11 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
     Returns ``score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
     weight_vec, pattern_weights) -> logl`` (see :func:`dyn_score_args`).
-    Same model scope as make_fused_edge_score.
+    Same model scope as make_fused_edge_score, plus SCALE_PER_RATE with
+    the in-kernel min/cap scaler fold (`src/core_likelihood.c:916-941`).
     """
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
-        raise ValueError("per-site or no scaling only")
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
+        raise ValueError(f"unsupported scale mode {scale_mode}")
     chars = tip_encoding == "chars"
     cs = rate_cats * states
     w = states
@@ -493,8 +515,12 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     loc0 = r_tip + r_imp
     n_state = loc0 + r_loc + 1
     sloc0 = r_imp
-    n_scal = sloc0 + r_loc + 2
+    n_scal = sloc0 + r_loc + 2  # node units
     last = len(dyn.segments) - 1
+    per_rate = scale_mode == SCALE_PER_RATE
+    srows = rate_cats if per_rate else 1
+    rate_mask = make_rate_mask("vpu", states, rate_cats)
+    rate_sum = make_rate_sum("vpu", states, rate_cats)
 
     exp_tabs_np, exp_pos, r_exp = _export_tables(dyn)
 
@@ -553,14 +579,19 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                     coeff_ref[tile, :, off + w + d:off + w + d + 1]
                     * pltpu.roll(a2, shift, 0))
             x = left * right
-            cnt = scal[pl.ds(s1, 1), :] + scal[pl.ds(s2, 1), :]
+            cnt = (scal[pl.ds(s1 * srows, srows), :]
+                   + scal[pl.ds(s2 * srows, srows), :])
             if scale_mode == SCALE_PER_SITE:
                 mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
                         & (has > 0))
                 x = jnp.where(mask, x * factor, x)
                 cnt = cnt + mask.astype(jnp.int32)
+            elif per_rate:
+                full, perr = rate_mask(x, thresh)
+                x = jnp.where(full & (has > 0), x * factor, x)
+                cnt = cnt + (perr & (has > 0)).astype(jnp.int32)
             state[p] = x
-            scal[pl.ds(sloc0 + base + k, 1), :] = cnt
+            scal[pl.ds((sloc0 + base + k) * srows, srows), :] = cnt
             if out_cb is not None:
                 out_cb(k, x, cnt)
 
@@ -576,8 +607,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         def _():
             decode_tips(tips_ref, state, dtype)
             state[r_tip:loc0] = imp_ref[...]
-            scal[0:r_imp, :] = imp_scal_ref[...]
-            scal[sloc0 + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+            scal[0:r_imp * srows, :] = imp_scal_ref[...]
+            scal[(sloc0 + r_loc) * srows:, :] = jnp.zeros(
+                (2 * srows, bl), jnp.int32)
 
         op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
                 factor, None)
@@ -586,8 +618,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         def _():
             for e in range(r_exp):
                 exp_ref[e] = state[exp_table_ref[e, 0]]
-                exp_scal_ref[e:e + 1, :] = scal[
-                    pl.ds(exp_table_ref[e, 1], 1), :]
+                exp_scal_ref[e * srows:(e + 1) * srows, :] = scal[
+                    pl.ds(exp_table_ref[e, 1] * srows, srows), :]
 
     def root_kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
                     edge_coeff_ref, wvec_ref, pw_ref, out_ref, state, scal):
@@ -607,8 +639,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         def _():
             decode_tips(tips_ref, state, dtype)
             state[r_tip:loc0] = imp_ref[...]
-            scal[0:r_imp, :] = imp_scal_ref[...]
-            scal[sloc0 + r_loc:, :] = jnp.zeros((2, bl), jnp.int32)
+            scal[0:r_imp * srows, :] = imp_scal_ref[...]
+            scal[(sloc0 + r_loc) * srows:, :] = jnp.zeros(
+                (2 * srows, bl), jnp.int32)
 
         op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
                 factor, None)
@@ -623,8 +656,15 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                 termb = termb + (edge_coeff_ref[0, :, d:d + 1]
                                  * pltpu.roll(child_row, shift, 0))
             y = state[p_state] * termb * wvec_ref[...]
-            term = jnp.sum(y, axis=0, keepdims=True)
-            snum = scal[pl.ds(p_scal, 1), :] + scal[pl.ds(c_scal, 1), :]
+            snum = (scal[pl.ds(p_scal * srows, srows), :]
+                    + scal[pl.ds(c_scal * srows, srows), :])
+            if per_rate:
+                term_r = rate_sum(y)  # [C, bl]
+                term_r, snum = fold_rate_scalers_inkernel(
+                    term_r, snum, thresh)
+                term = jnp.sum(term_r, axis=0, keepdims=True)
+            else:
+                term = jnp.sum(y, axis=0, keepdims=True)
             lnl = (jnp.log(term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
             out_ref[0, 0] += jnp.sum(lnl)
@@ -650,7 +690,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                               memory_space=pltpu.VMEM)),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t, e: (z, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_imp, bl), lambda j, c, t, e: (z, j),
+                pl.BlockSpec((r_imp * srows, bl), lambda j, c, t, e: (z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tiles_per_chunk, cs, 128),
                              lambda j, c, t, e: (c, z, z),
@@ -659,12 +699,12 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             out_specs=[
                 pl.BlockSpec((r_exp, cs, bl), lambda j, c, t, e: (z, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_exp, bl), lambda j, c, t, e: (z, j),
+                pl.BlockSpec((r_exp * srows, bl), lambda j, c, t, e: (z, j),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
-                pltpu.VMEM((n_scal, bl), jnp.int32),
+                pltpu.VMEM((n_scal * srows, bl), jnp.int32),
             ],
         )
         return pl.pallas_call(
@@ -672,7 +712,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((r_exp, cs, sites), dtype),
-                jax.ShapeDtypeStruct((r_exp, sites), jnp.int32),
+                jax.ShapeDtypeStruct((r_exp * srows, sites), jnp.int32),
             ],
             interpret=interpret,
         )(table, exp_table, tip_slab, imp, imp_scal, coeff_tiles)
@@ -695,7 +735,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                               memory_space=pltpu.VMEM)),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_imp, bl), lambda j, c, t: (z, j),
+                pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tiles_per_chunk, cs, 128),
                              lambda j, c, t: (c, z, z),
@@ -711,7 +751,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                                    memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
-                pltpu.VMEM((n_scal, bl), jnp.int32),
+                pltpu.VMEM((n_scal * srows, bl), jnp.int32),
             ],
         )
         return pl.pallas_call(
@@ -739,18 +779,20 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                     [seg_exp[a][exp_pos[(a, b)]][None]
                      for (a, b) in s.imports], axis=0)
                 imp_scal = jnp.concatenate(
-                    [seg_exp_scal[a][exp_pos[(a, b)]][None]
+                    [seg_exp_scal[a][exp_pos[(a, b)] * srows:
+                                     (exp_pos[(a, b)] + 1) * srows]
                      for (a, b) in s.imports], axis=0)
                 pad = r_imp - len(s.imports)
                 if pad:
                     imp = jnp.concatenate(
                         [imp, jnp.zeros((pad, cs, sites), dtype)], axis=0)
                     imp_scal = jnp.concatenate(
-                        [imp_scal, jnp.zeros((pad, sites), jnp.int32)],
+                        [imp_scal,
+                         jnp.zeros((pad * srows, sites), jnp.int32)],
                         axis=0)
             else:
                 imp = jnp.zeros((r_imp, cs, sites), dtype)
-                imp_scal = jnp.zeros((r_imp, sites), jnp.int32)
+                imp_scal = jnp.zeros((r_imp * srows, sites), jnp.int32)
             if si == last:
                 out = root_segment(tables[si], tip_slabs[si], imp,
                                    imp_scal, coeff_tiles, edge_coeff,

@@ -40,12 +40,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.constants import (SCALE_NONE, SCALE_PER_SITE,
+from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
                                scale_shift_bits)
 from .clv import _scale_consts
 from .clv_pallas import (_VMEM_BUDGET, _flatten_ops, block_diag_pmatrices,
-                         coeff_lane_width, gather_coeff, lane_pack_coeff,
-                         make_contract, roll_coeff_pmatrices)
+                         coeff_lane_width, fold_rate_scalers_inkernel,
+                         gather_coeff, lane_pack_coeff, make_contract,
+                         make_rate_mask, make_rate_sum,
+                         roll_coeff_pmatrices)
 from .sweep import LevelSchedule
 
 
@@ -278,8 +280,11 @@ def _segment_matrix_map(seg: Segment, extra: Sequence[int] = ()):
 
 def _segment_kernel_body(ops, contract, scale_mode, thresh, factor,
                          bl, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
-                         loc_ref, scal_ref):
-    """Shared per-segment op loop writing local rows into loc/scal refs."""
+                         loc_ref, scal_ref, srows=1, rate_mask=None):
+    """Shared per-segment op loop writing local rows into loc/scal refs.
+
+    ``srows`` is the scaler rows per node (1 per-site, C per-rate); all
+    scaler arrays are node-major blocks of that many rows."""
     def child(src):
         kind, i = src[0], src[1] if len(src) > 1 else 0
         if kind == "tip":
@@ -290,10 +295,11 @@ def _segment_kernel_body(ops, contract, scale_mode, thresh, factor,
 
     def scaler(src):
         if src[0] == "zero":
-            return jnp.zeros((1, bl), jnp.int32)
+            return jnp.zeros((srows, bl), jnp.int32)
+        i = src[1]
         if src[0] == "simp":
-            return imp_scal_ref[src[1]:src[1] + 1, :]
-        return scal_ref[src[1]:src[1] + 1, :]
+            return imp_scal_ref[i * srows:(i + 1) * srows, :]
+        return scal_ref[i * srows:(i + 1) * srows, :]
 
     for (lp, src1, m1, src2, m2, sr1, sr2, has) in ops:
         x = contract(coeff_ref, m1, child(src1)) * contract(
@@ -303,8 +309,12 @@ def _segment_kernel_body(ops, contract, scale_mode, thresh, factor,
             mask = jnp.max(x, axis=0, keepdims=True) < thresh
             x = jnp.where(mask, x * factor, x)
             cnt = cnt + mask.astype(jnp.int32)
+        elif scale_mode == SCALE_PER_RATE and has:
+            full, perr = rate_mask(x, thresh)
+            x = jnp.where(full, x * factor, x)
+            cnt = cnt + perr.astype(jnp.int32)
         loc_ref[lp] = x
-        scal_ref[lp:lp + 1, :] = cnt
+        scal_ref[lp * srows:(lp + 1) * srows, :] = cnt
 
 
 def _nz(n):
@@ -319,12 +329,14 @@ def make_segmented_sweep(seg: SegmentedSchedule,
     """Build ``sweep(tip_slabs, pmatrix) -> (inner, scalers)`` for large
     trees.  ``inner`` is [n_inner, C*S, L] in *segment-major* rows
     (translate with seg.inner_row); ``scalers`` [n_inner + 1, L] likewise,
-    last row the zero dummy."""
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
-        raise ValueError("per-site or no scaling only")
+    last row the zero dummy ([n_inner + 1, C, L] with SCALE_PER_RATE)."""
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
+        raise ValueError(f"unsupported scale mode {scale_mode}")
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
     cs = rate_cats * states
+    srows = rate_cats if scale_mode == SCALE_PER_RATE else 1
+    rate_mask = make_rate_mask(impl, states, rate_cats)
 
     def sweep(tip_slabs: Sequence[jax.Array], pmatrix):
         dtype = tip_slabs[0].dtype
@@ -347,11 +359,12 @@ def make_segmented_sweep(seg: SegmentedSchedule,
             if s.imports:
                 rows = [seg_out[a][b][None] for (a, b) in s.imports]
                 imp = jnp.concatenate(rows, axis=0)
-                srows = [seg_scal[a][b][None] for (a, b) in s.imports]
-                imp_scal = jnp.concatenate(srows, axis=0)
+                scal_rows = [seg_scal[a][b * srows:(b + 1) * srows]
+                             for (a, b) in s.imports]
+                imp_scal = jnp.concatenate(scal_rows, axis=0)
             else:
                 imp = jnp.zeros((1, cs, sites), dtype)
-                imp_scal = jnp.zeros((1, sites), jnp.int32)
+                imp_scal = jnp.zeros((srows, sites), jnp.int32)
             tslab = tip_slabs[si]
             n_tip, n_imp, k = tslab.shape[0], imp.shape[0], s.n_local
             used, rops = _segment_matrix_map(s)
@@ -364,7 +377,8 @@ def make_segmented_sweep(seg: SegmentedSchedule,
                 _segment_kernel_body(rops, contract, scale_mode, thresh,
                                      factor, bl, tips_ref, imp_ref,
                                      imp_scal_ref, coeff_ref, loc_ref,
-                                     scal_ref)
+                                     scal_ref, srows=srows,
+                                     rate_mask=rate_mask)
 
             loc, scal = pl.pallas_call(
                 kernel,
@@ -374,7 +388,7 @@ def make_segmented_sweep(seg: SegmentedSchedule,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((n_imp, cs, bl), lambda j: (z, z, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_imp, bl), lambda j: (z, j),
+                    pl.BlockSpec((n_imp * srows, bl), lambda j: (z, j),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(coeff_s.shape, lambda j: (z,) * nd,
                                  memory_space=pltpu.VMEM),
@@ -382,12 +396,12 @@ def make_segmented_sweep(seg: SegmentedSchedule,
                 out_specs=[
                     pl.BlockSpec((k, cs, bl), lambda j: (z, z, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((k, bl), lambda j: (z, j),
+                    pl.BlockSpec((k * srows, bl), lambda j: (z, j),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((k, cs, sites), dtype),
-                    jax.ShapeDtypeStruct((k, sites), jnp.int32),
+                    jax.ShapeDtypeStruct((k * srows, sites), jnp.int32),
                 ],
                 compiler_params=_compiler_params(),
                 interpret=interpret,
@@ -397,7 +411,9 @@ def make_segmented_sweep(seg: SegmentedSchedule,
 
         inner = jnp.concatenate(seg_out, axis=0)
         scalers = jnp.concatenate(
-            seg_scal + [jnp.zeros((1, sites), jnp.int32)], axis=0)
+            seg_scal + [jnp.zeros((srows, sites), jnp.int32)], axis=0)
+        if srows > 1:
+            scalers = scalers.reshape(seg.n_inner + 1, srows, sites)
         return inner, scalers
 
     return sweep
@@ -412,14 +428,20 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
     """Large-tree tree-search scoring: leaf segments export only their
     subtree-root rows; the final segment folds the edge log-likelihood into
     its kernel.  ``parent_lm``/``child_lm`` are level-major CLV ids (as in
-    EvalTopology).  Same model scope as make_fused_edge_score."""
-    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
-        raise ValueError("per-site or no scaling only")
+    EvalTopology).  Same model scope as make_fused_edge_score, plus
+    SCALE_PER_RATE (in-kernel min/cap scaler fold,
+    `src/core_likelihood.c:916-941`)."""
+    if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
+        raise ValueError(f"unsupported scale mode {scale_mode}")
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
     cs = rate_cats * states
     tips = seg.tips
     last = len(seg.segments) - 1
+    per_rate = scale_mode == SCALE_PER_RATE
+    srows = rate_cats if per_rate else 1
+    rate_mask = make_rate_mask(impl, states, rate_cats)
+    rate_sum = make_rate_sum(impl, states, rate_cats)
 
     # locate evaluation-edge rows within the root segment's address space
     def locate(lm, what):
@@ -471,11 +493,12 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                     [seg_exp[a][_exp_pos_of(seg, a, b)][None]
                      for (a, b) in s.imports], axis=0)
                 imp_scal = jnp.concatenate(
-                    [seg_exp_scal[a][_exp_pos_of(seg, a, b)][None]
+                    [seg_exp_scal[a][_exp_pos_of(seg, a, b) * srows:
+                                     (_exp_pos_of(seg, a, b) + 1) * srows]
                      for (a, b) in s.imports], axis=0)
             else:
                 imp = jnp.zeros((1, cs, sites), dtype)
-                imp_scal = jnp.zeros((1, sites), jnp.int32)
+                imp_scal = jnp.zeros((srows, sites), jnp.int32)
             tslab = tip_slabs[si]
             n_tip, n_imp, k = tslab.shape[0], imp.shape[0], s.n_local
             is_root = si == last
@@ -498,7 +521,8 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                     _segment_kernel_body(rops, contract, scale_mode, thresh,
                                          factor, bl, tips_ref, imp_ref,
                                          imp_scal_ref, coeff_ref, loc_ref,
-                                         scal_ref)
+                                         scal_ref, srows=srows,
+                                         rate_mask=rate_mask)
                     def row_of(src):
                         kind, i = src
                         return (tips_ref[i] if kind == "tip"
@@ -508,15 +532,21 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                     def scal_of(src):
                         kind, i = src
                         if kind == "tip":
-                            return jnp.zeros((1, bl), jnp.int32)
+                            return jnp.zeros((srows, bl), jnp.int32)
                         if kind == "imp":
-                            return imp_scal_ref[i:i + 1, :]
-                        return scal_ref[i:i + 1, :]
+                            return imp_scal_ref[i * srows:(i + 1) * srows, :]
+                        return scal_ref[i * srows:(i + 1) * srows, :]
 
                     termb = contract(coeff_ref, edge_m, row_of(child_src))
                     y = row_of(parent_src) * termb * wvec_ref[...]
-                    term = jnp.sum(y, axis=0, keepdims=True)
                     snum = scal_of(parent_src) + scal_of(child_src)
+                    if per_rate:
+                        term_r = rate_sum(y)  # [C, bl]
+                        term_r, snum = fold_rate_scalers_inkernel(
+                            term_r, snum, thresh)
+                        term = jnp.sum(term_r, axis=0, keepdims=True)
+                    else:
+                        term = jnp.sum(y, axis=0, keepdims=True)
                     lnl = (jnp.log(term)
                            + snum.astype(dtype) * log_scale) * pw_ref[...]
                     out_ref[0, 0] += jnp.sum(lnl)
@@ -529,7 +559,7 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((n_imp, cs, bl), lambda j: (z, z, j),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((n_imp, bl), lambda j: (z, j),
+                        pl.BlockSpec((n_imp * srows, bl), lambda j: (z, j),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec(coeff_s.shape, lambda j: (z,) * nd,
                                      memory_space=pltpu.VMEM),
@@ -543,7 +573,7 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                     out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
                     scratch_shapes=[
                         pltpu.VMEM((k, cs, bl), dtype),
-                        pltpu.VMEM((k, bl), jnp.int32),
+                        pltpu.VMEM((k * srows, bl), jnp.int32),
                     ],
                     compiler_params=_compiler_params(),
                     interpret=interpret,
@@ -559,10 +589,12 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                 _segment_kernel_body(rops, contract, scale_mode, thresh,
                                      factor, bl, tips_ref, imp_ref,
                                      imp_scal_ref, coeff_ref, loc_ref,
-                                     scal_ref)
+                                     scal_ref, srows=srows,
+                                     rate_mask=rate_mask)
                 for i, l in enumerate(exports):
                     exp_ref[i] = loc_ref[l]
-                    exp_scal_ref[i:i + 1, :] = scal_ref[l:l + 1, :]
+                    exp_scal_ref[i * srows:(i + 1) * srows, :] = (
+                        scal_ref[l * srows:(l + 1) * srows, :])
 
             exp, exp_scal = pl.pallas_call(
                 kernel,
@@ -572,7 +604,7 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((n_imp, cs, bl), lambda j: (z, z, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_imp, bl), lambda j: (z, j),
+                    pl.BlockSpec((n_imp * srows, bl), lambda j: (z, j),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(coeff_s.shape, lambda j: (z,) * nd,
                                  memory_space=pltpu.VMEM),
@@ -580,16 +612,16 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                 out_specs=[
                     pl.BlockSpec((n_exp, cs, bl), lambda j: (z, z, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_exp, bl), lambda j: (z, j),
+                    pl.BlockSpec((n_exp * srows, bl), lambda j: (z, j),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((n_exp, cs, sites), dtype),
-                    jax.ShapeDtypeStruct((n_exp, sites), jnp.int32),
+                    jax.ShapeDtypeStruct((n_exp * srows, sites), jnp.int32),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((k, cs, bl), dtype),
-                    pltpu.VMEM((k, bl), jnp.int32),
+                    pltpu.VMEM((k * srows, bl), jnp.int32),
                 ],
                 compiler_params=_compiler_params(),
                 interpret=interpret,

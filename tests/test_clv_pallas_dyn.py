@@ -131,3 +131,66 @@ def test_engine_unbounded_score():
     score = make_score_unbounded(topo, 4, 4, masks, interpret=True)
     np.testing.assert_allclose(float(score(model)), float(logl_ref),
                                rtol=2e-6)
+
+
+def test_dyn_sweep_per_rate_matches_xla():
+    """PLL_ATTRIB_RATE_SCALERS on the data-driven kernels: per (site, rate)
+    counters, cross-checked bit-exact vs the unrolled vpu kernel and
+    counter-exact vs the XLA level sweep."""
+    from libpll_tpu.utils.constants import SCALE_PER_RATE
+
+    topo, model, pmatrix, clv, scalers = _build(
+        _caterpillar_newick(48), sites=128, scale_mode=SCALE_PER_RATE)
+    t = topo.schedule.tips
+    clv_ref, scal_ref = make_level_sweep(topo.schedule, SCALE_PER_RATE)(
+        clv, scalers, pmatrix)
+    assert int(np.max(np.asarray(scal_ref))) > 0  # scaling actually fires
+
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=20, chunk=8,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    slabs = cpd.pack_tips_dyn(clv[:t], dyn, "vpu")
+    tables, m_g = cpd.dyn_runtime_args(dyn)
+    sweep = cpd.make_dyn_sweep(dyn, SCALE_PER_RATE, rate_cats=4, states=4,
+                               interpret=True)
+    inner, scal = sweep(slabs, tables, m_g, pmatrix)
+    assert scal.shape == (topo.schedule.n_inner + 1, 4, 128)
+
+    usweep = cp.make_fused_sweep(topo.schedule, SCALE_PER_RATE, impl="vpu",
+                                 rate_cats=4, states=4, block_sites=128,
+                                 interpret=True)
+    inner_u, scal_u = usweep(cp.pack_tips(clv[:t], "vpu"), pmatrix)
+    gu, gd = np.asarray(inner_u), np.asarray(inner)
+    su, sd = np.asarray(scal_u), np.asarray(scal)
+    sref = np.asarray(scal_ref)
+    for r in range(topo.schedule.n_inner):
+        assert np.array_equal(gu[r], gd[dyn.inner_row(r)]), r
+        assert np.array_equal(su[r], sd[dyn.scaler_row(r)]), r
+        assert np.array_equal(sref[r], sd[dyn.scaler_row(r)]), r
+
+
+def test_dyn_score_per_rate_matches_forward():
+    """In-kernel per-rate min/cap fold on the unbounded scoring path."""
+    from libpll_tpu.engine.evaluate import make_forward
+    from libpll_tpu.utils.constants import SCALE_PER_RATE
+
+    topo, model, pmatrix, clv, scalers = _build(
+        _caterpillar_newick(48), sites=128, scale_mode=SCALE_PER_RATE)
+    t = topo.schedule.tips
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=20, chunk=8,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    tables, m_g, exp_t = cpd.dyn_score_args(dyn)
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.int32)
+             * (1 << np.arange(4))[:, None][None]).sum(axis=1)
+    slabs_c = cpd.pack_tipchars_dyn(masks, dyn)
+    score = cpd.make_dyn_score(
+        dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        SCALE_PER_RATE, rate_cats=4, states=4, interpret=True)
+    wvec = cp.pack_weight_vec(model["freqs_pc"], model["rate_weights"],
+                              "vpu")
+    pw = model["pattern_weights"][None, :].astype(jnp.float32)
+    logl = score(slabs_c, tables, m_g, exp_t, pmatrix, wvec, pw)
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
