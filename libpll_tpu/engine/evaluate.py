@@ -171,15 +171,20 @@ def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
 
     Returns ``forward(model, tips_packed) -> (logl, persite, inner, scalers)``
     where ``tips_packed`` is :func:`libpll_tpu.ops.clv_pallas.pack_tips`
-    applied once to the [tips, C, S, L] tip CLVs (tips are constant after
-    setup).  ``inner`` is returned in the packed layout for reuse
+    (plus :func:`~libpll_tpu.ops.clv_pallas.pad_sites_packed` when the
+    allocated site count is not a multiple of the kernel block) applied
+    once to the [tips, C, S, L] tip CLVs (tips are constant after setup).
+    ``inner`` is returned in the packed (padded) layout for reuse
     (derivatives, partial re-evaluation).
+
+    Ascertainment-bias corrections are supported: the ``states``
+    pseudo-site columns ride the site axis through the fused sweep exactly
+    as in the XLA path; only the final fold (in XLA) distinguishes them.
+    The padding lanes are sliced off before the fold so Lewis/Felsenstein
+    base likelihoods see only the real asc columns.
     """
     from ..ops import clv_pallas as cp
 
-    if topo.asc_mode:
-        raise ValueError("fused paths do not support asc-bias; use "
-                         "make_forward")
     sweep = cp.make_fused_sweep(topo.schedule, topo.scale_mode, impl=impl,
                                 rate_cats=rate_cats, states=states,
                                 interpret=interpret)
@@ -190,17 +195,18 @@ def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
     sp = topo.scaler_row(topo.parent_clv)
     sc = topo.scaler_row(topo.child_clv)
 
-    def row(tips_packed, inner, idx):
+    def row(tips_packed, inner, idx, L):
         packed = (tips_packed[idx] if idx < tips else inner[idx - tips])
-        return cp.unpack_clv(packed, rate_cats, states, impl)
+        return cp.unpack_clv(packed[..., :L], rate_cats, states, impl)
 
     def forward(model, tips_packed):
+        L = model["pattern_weights"].shape[-1]  # allocated (real) length
         pmatrix = _pmatrices(model, topo, tips_packed.dtype)
         inner, scalers = sweep(tips_packed, pmatrix)
         logl, persite = lk_ops.edge_loglikelihood(
-            row(tips_packed, inner, topo.parent_clv),
-            row(tips_packed, inner, topo.child_clv),
-            scalers[sp], scalers[sc],
+            row(tips_packed, inner, topo.parent_clv, L),
+            row(tips_packed, inner, topo.child_clv, L),
+            scalers[sp][..., :L], scalers[sc][..., :L],
             pmatrix[topo.edge_matrix], model["freqs_pc"],
             model["rate_weights"], model["pattern_weights"],
             model["prop_invar_pc"], model["invariant"], sites=topo.sites,
@@ -349,25 +355,26 @@ def make_train_step_fused(topo: EvalTopology, rate_cats: int, states: int,
     sc = topo.scaler_row(topo.child_clv)
     MIN_T, MAX_T = 1e-8, 100.0
 
-    def row(tips_packed, inner, idx):
+    def row(tips_packed, inner, idx, L):
         packed = tips_packed[idx] if idx < tips else inner[idx - tips]
-        return cp.unpack_clv(packed, rate_cats, states, impl)
+        return cp.unpack_clv(packed[..., :L], rate_cats, states, impl)
 
     def step(model, tips_packed):
         logl, _, inner, scalers = fwd(model, tips_packed)
         dtype = tips_packed.dtype
-        clv_p = row(tips_packed, inner, topo.parent_clv)
-        clv_c = row(tips_packed, inner, topo.child_clv)
+        L = model["pattern_weights"].shape[-1]
+        clv_p = row(tips_packed, inner, topo.parent_clv, L)
+        clv_c = row(tips_packed, inner, topo.child_clv, L)
         left_pc = model["left"][model["params_indices"]].astype(dtype)
         right_pc = model["right"][model["params_indices"]].astype(dtype)
         evals_pc = model["eigenvals"][model["params_indices"]].astype(dtype)
         sumtable = deriv_ops.update_sumtable(
-            clv_p, clv_c, scalers[sp], scalers[sc],
+            clv_p, clv_c, scalers[sp][..., :L], scalers[sc][..., :L],
             model["freqs_pc"].astype(dtype), left_pc, right_pc,
             per_rate=per_rate)
 
         t0 = model["branch_lengths"][-1]
-        zeros_site = jnp.zeros((tips_packed.shape[-1],), dtype=jnp.int32)
+        zeros_site = jnp.zeros((L,), dtype=jnp.int32)
 
         def cond(carry):
             t, d1, it = carry

@@ -176,6 +176,23 @@ def pack_tips(tips_clv: jax.Array, impl: str) -> jax.Array:
     return tips_clv.reshape(t, c * s, sites)
 
 
+def pad_sites_packed(packed: jax.Array, multiple: int = 128) -> jax.Array:
+    """Pad the lane (site) axis of packed tip CLVs up to a multiple of the
+    kernel block size with all-ones columns — the CLV of a gap tip, so the
+    padding stays positive and bounded through the whole sweep (no NaNs,
+    no scaling events from zero columns).  Lets the fused pipelines accept
+    arbitrary site counts (in particular the ``states`` asc-bias
+    pseudo-columns, `src/pll.c:490-495`, which make L = sites + S); callers
+    slice results back to the real length.  Runs once at setup."""
+    sites = packed.shape[-1]
+    pad = -sites % multiple
+    if not pad:
+        return packed
+    return jnp.concatenate(
+        [packed, jnp.ones(packed.shape[:-1] + (pad,), packed.dtype)],
+        axis=-1)
+
+
 def unpack_clv(packed: jax.Array, rate_cats: int, states: int,
                impl: str) -> jax.Array:
     """Inverse of the packing for inner-CLV outputs: [..., C*S, L] ->

@@ -313,3 +313,52 @@ def test_model_from_partition_bridge():
     scalers = jnp.zeros((topo.schedule.n_inner + 1, 16), jnp.int32)
     logl_fwd, _ = make_forward(topo)(model, clv_lm, scalers)
     assert abs(logl_api - float(logl_fwd)) < 1e-9
+
+
+@pytest.mark.parametrize("asc_mode", [1, 2, 3])  # Lewis/Felsenstein/Stam.
+def test_fused_forward_asc_bias(asc_mode):
+    """Asc-bias on the fused pipeline: the S pseudo-site columns ride the
+    site axis through the Pallas sweep (with ones-padding up to the kernel
+    block, pad_sites_packed), and match the step-by-step API exactly."""
+    import libpll_tpu as pll
+    from libpll_tpu.engine.evaluate import (make_forward_fused,
+                                            model_from_partition)
+
+    rng = np.random.default_rng(asc_mode)
+    sites, rate_cats = 40, 4
+    tree = ut.parse_newick_string(_random_tree_newick(8, rng))
+    tips = tree.tip_count
+    part = pll.Partition(tips, tips - 2, 4, sites, 1, 2 * tips - 3,
+                         rate_cats, tips - 2, asc_bias_alloc=True)
+    part.set_asc_bias_type(asc_mode)
+    part.set_frequencies(0, [0.3, 0.25, 0.25, 0.2])
+    part.set_subst_params(0, rng.uniform(0.5, 2.0, 6))
+    part.set_category_rates(compute_gamma_cats(0.9, rate_cats))
+    if asc_mode == 3:
+        part.set_asc_state_weights(np.asarray([3, 1, 2, 4], np.uint32))
+    trav = ut.traverse(tree.root)
+    order = {n.label: n.clv_index for n in trav if n.label}
+    for lab in sorted(order):
+        part.set_tip_states(order[lab], pll.maps.pll_map_nt,
+                            "".join(rng.choice(list("ACGT"), sites)))
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices([0] * rate_cats, midx, blens)
+    part.update_partials(ops)
+    r = tree.root
+    logl_api = part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index,
+        r.back.scaler_index, r.pmatrix_index, [0] * rate_cats)
+
+    topo, branches = topology_from_tree(tree, sites,
+                                        asc_mode=asc_mode)
+    model = model_from_partition(part, branches)  # float32 fast path
+    lm = np.zeros((part.clv.shape[0],), np.int64)
+    for orig, row in topo.schedule.clv_map.items():
+        lm[row] = orig
+    tips_clv = jnp.asarray(np.asarray(part.clv)[lm[:tips]], jnp.float32)
+    packed = cp.pad_sites_packed(cp.pack_tips(tips_clv, "mxu"))
+    assert packed.shape[-1] == 128  # 44 allocated columns -> one block
+    fwd = make_forward_fused(topo, rate_cats, 4, impl="mxu",
+                             interpret=True)
+    logl, _, _, _ = fwd(model, packed)
+    np.testing.assert_allclose(float(logl), float(logl_api), rtol=5e-5)
