@@ -301,7 +301,9 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
 def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
                          tip_masks, interpret: bool = False):
     """Tree-search scoring for trees of any size (data-driven segmented
-    kernels, O(1) compile cost) with pattern-tip storage: 1 byte/tip/site.
+    kernels, O(1) compile cost) with pattern-tip storage: 0.5 byte/tip/site
+    for ≤4-bit alphabets (DNA), 4 bytes for wide alphabets (protein
+    20-bit ambiguity masks) — both decoded to 0/1 CLV rows in VMEM.
 
     ``tip_masks``: [tips, sites] integer ambiguity bitmasks
     (Partition._tip_masks or io.maps.encode_sequence output).
@@ -316,12 +318,15 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     dyn = cpd.build_dyn_schedule(
         topo.schedule, rate_cats=rate_cats, states=states,
         ensure_rows=[topo.parent_clv, topo.child_clv])
-    slabs = cpd.pack_tipchars_dyn(np.asarray(tip_masks), dyn)
+    masks = np.asarray(tip_masks)
+    enc = "chars" if int(masks.max()) <= 0xF else "masks"
+    slabs = (cpd.pack_tipchars_dyn(masks, dyn) if enc == "chars"
+             else cpd.pack_tipmasks_dyn(masks, dyn))
     tables, m_gathers, exp_tables = cpd.dyn_score_args(dyn)
     score_kernel = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
-        interpret=interpret)
+        tip_encoding=enc, interpret=interpret)
 
     def score(model):
         dtype = model["freqs_pc"].dtype

@@ -179,6 +179,28 @@ def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
     return out
 
 
+def pack_tipmasks_dyn(tip_masks: np.ndarray, dyn: DynSchedule
+                      ) -> List[jax.Array]:
+    """Per-segment tip slabs as one int32 ambiguity-bitmask word per
+    (tip, site): [r_tip, L] (tip_encoding="masks").  The wide-alphabet
+    pattern-tip mode — protein tips are 20-bit masks (pll_map_aa), so the
+    nibble-packed chars mode cannot hold them; one word is still an 80×
+    residency cut vs the [C=4, S=20] f32 tip CLV.  Reference pattern-tip
+    semantics: `src/pll.c:825-903` with the tipmap indirection replaced by
+    in-VMEM bit decode."""
+    masks = np.asarray(tip_masks, dtype=np.uint32)
+    if masks.max() > 0x7FFFFFFF:
+        raise ValueError("tip masks must fit 31 bits (states <= 31)")
+    sites = masks.shape[1]
+    out = []
+    for s in dyn.segments:
+        slab = np.zeros((dyn.r_tip, sites), np.uint32)
+        if s.tip_globals.size:
+            slab[:len(s.tip_globals)] = masks[s.tip_globals]
+        out.append(jnp.asarray(slab.astype(np.int32)))
+    return out
+
+
 def pack_tipchars_dyn(tip_masks: np.ndarray, dyn: DynSchedule
                       ) -> List[jax.Array]:
     """Per-segment tip slabs as nibble-packed int32 words
@@ -201,6 +223,55 @@ def pack_tipchars_dyn(tip_masks: np.ndarray, dyn: DynSchedule
             packed |= slab[k::8][:words] << np.uint32(4 * k)
         out.append(jnp.asarray(packed.astype(np.int32)))
     return out
+
+
+_TIP_ENCODINGS = ("clv", "chars", "masks")
+
+
+def _tip_blockspec(tip_encoding, r_tip, cs, bl, n_prefetch):
+    """BlockSpec of the per-segment tip slab input for each encoding;
+    ``n_prefetch`` is the kernel's scalar-prefetch arg count (grid is
+    always (site_blocks, chunks))."""
+    z = np.int32(0)
+    m2 = {1: lambda j, c, t: (z, j),
+          2: lambda j, c, t, e: (z, j)}[n_prefetch]
+    m3 = {1: lambda j, c, t: (z, z, j),
+          2: lambda j, c, t, e: (z, z, j)}[n_prefetch]
+    if tip_encoding == "chars":
+        return pl.BlockSpec((-(-r_tip // 8), bl), m2,
+                            memory_space=pltpu.VMEM)
+    if tip_encoding == "masks":
+        return pl.BlockSpec((r_tip, bl), m2, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((r_tip, cs, bl), m3, memory_space=pltpu.VMEM)
+
+
+def _make_tip_decoder(tip_encoding, r_tip, rate_cats, states):
+    """In-VMEM decode of a segment's tip slab into 0/1 CLV state rows
+    (state-major layout; reference set_tipclv bit walk, pll.c:925-931).
+    Scalar shifts only: Mosaic's vector-shift-by-vector lowering recurses
+    under x64."""
+    def bits_of(word, dtype):
+        bl_ = word.shape[-1]
+        return jnp.concatenate(
+            [jnp.broadcast_to(jnp.right_shift(word, np.int32(s)) & 1,
+                              (rate_cats, bl_)) for s in range(states)],
+            axis=0).astype(dtype)
+
+    if tip_encoding == "clv":
+        def decode(tips_ref, state, dtype):
+            state[0:r_tip] = tips_ref[...]
+    elif tip_encoding == "chars":
+        # nibble-packed 4-bit codes, 8 tips per int32 word
+        def decode(tips_ref, state, dtype):
+            for ti in range(r_tip):
+                word = tips_ref[pl.ds(ti // 8, 1), :]
+                code = jnp.right_shift(word, np.int32(4 * (ti % 8))) & 0xF
+                state[ti] = bits_of(code, dtype)
+    else:  # masks: one bitmask word per tip row (wide alphabets)
+        def decode(tips_ref, state, dtype):
+            for ti in range(r_tip):
+                state[ti] = bits_of(tips_ref[pl.ds(ti, 1), :], dtype)
+    return decode
 
 
 def _pack_op_coeff(coeff_ops: jax.Array, w: int, chunk: int
@@ -238,11 +309,13 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     :func:`dyn_runtime_args` — all segments run one compiled kernel.
 
     tip_encoding="chars" is the rebuild's PLL_ATTRIB_PATTERN_TIP
-    (reference `src/pll.c:825-903`): tip slabs are int32 ambiguity
-    bitmasks [r_tip, L] (from :func:`pack_tipchars_dyn`), decoded to 0/1
+    (reference `src/pll.c:825-903`): tip slabs are nibble-packed 4-bit
+    ambiguity codes (from :func:`pack_tipchars_dyn`), decoded to 0/1
     CLV rows in VMEM with bit-shifts — tip HBM traffic and residency drop
-    by 4·C·S bytes -> 4 per site, which is what makes ~10k-taxa × 1M-site
-    partitions fit one chip.
+    by 4·C·S bytes -> 0.5 per site, which is what makes ~10k-taxa ×
+    1M-site partitions fit one chip.  tip_encoding="masks" is the
+    wide-alphabet variant (protein: 20-bit masks, one int32 word per
+    tip/site, from :func:`pack_tipmasks_dyn`).
 
     VPU-roll contraction only (DNA-sized states); inner rows are
     segment-major (``dyn.inner_row`` translates level-major ids).
@@ -254,9 +327,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     """
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
         raise ValueError(f"unsupported scale mode {scale_mode}")
-    if tip_encoding not in ("clv", "chars"):
+    if tip_encoding not in _TIP_ENCODINGS:
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
-    chars = tip_encoding == "chars"
     cs = rate_cats * states
     w = states
     per = 128 // (2 * w)
@@ -271,6 +343,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     per_rate = scale_mode == SCALE_PER_RATE
     srows = rate_cats if per_rate else 1  # scaler rows per node
     rate_mask = make_rate_mask("vpu", states, rate_cats)
+    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states)
 
     def kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
                out_ref, out_scal_ref, state, scal):
@@ -282,25 +355,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
 
         @pl.when(chunk == 0)
         def _():
-            if chars:
-                # decode nibble-packed ambiguity codes -> 0/1 CLVs in
-                # VMEM: row s*C + c of a tip is bit s of its 4-bit code
-                # (state-major layout; reference set_tipclv bit walk,
-                # pll.c:925-931).  Scalar shifts only: Mosaic's
-                # vector-shift-by-vector lowering recurses under x64.
-                for ti in range(r_tip):
-                    word = tips_ref[pl.ds(ti // 8, 1), :]
-                    code = jnp.right_shift(word,
-                                           np.int32(4 * (ti % 8))) & 0xF
-                    bl_ = code.shape[-1]
-                    bits = jnp.concatenate(
-                        [jnp.broadcast_to(
-                            jnp.right_shift(code, np.int32(s)) & 1,
-                            (rate_cats, bl_)) for s in range(states)],
-                        axis=0)
-                    state[ti] = bits.astype(dtype)
-            else:
-                state[0:r_tip] = tips_ref[...]
+            decode_tips(tips_ref, state, dtype)
             state[r_tip:loc0] = imp_ref[...]
             scal[0:r_imp * srows, :] = imp_scal_ref[...]
             scal[(sloc0 + r_loc) * srows:, :] = jnp.zeros(
@@ -360,11 +415,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((-(-r_tip // 8), bl),
-                              lambda j, c, t: (z, j),
-                              memory_space=pltpu.VMEM) if chars else
-                 pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
-                              memory_space=pltpu.VMEM)),
+                _tip_blockspec(tip_encoding, r_tip, cs, bl, 1),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
@@ -504,7 +555,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     """
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
         raise ValueError(f"unsupported scale mode {scale_mode}")
-    chars = tip_encoding == "chars"
+    if tip_encoding not in _TIP_ENCODINGS:
+        raise ValueError(f"unknown tip encoding {tip_encoding!r}")
     cs = rate_cats * states
     w = states
     per = 128 // (2 * w)
@@ -539,20 +591,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     p_state, p_scal = locate(parent_lm, "parent")
     c_state, c_scal = locate(child_lm, "child")
 
-    def decode_tips(tips_ref, state, dtype):
-        if chars:
-            # scalar shifts only (see sweep kernel note)
-            for ti in range(r_tip):
-                word = tips_ref[pl.ds(ti // 8, 1), :]
-                code = jnp.right_shift(word, np.int32(4 * (ti % 8))) & 0xF
-                bl_ = code.shape[-1]
-                bits = jnp.concatenate(
-                    [jnp.broadcast_to(
-                        jnp.right_shift(code, np.int32(s)) & 1,
-                        (rate_cats, bl_)) for s in range(states)], axis=0)
-                state[ti] = bits.astype(dtype)
-        else:
-            state[0:r_tip] = tips_ref[...]
+    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states)
 
     def op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
                 factor, out_cb):
@@ -682,12 +721,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=2,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((-(-r_tip // 8), bl),
-                              lambda j, c, t, e: (z, j),
-                              memory_space=pltpu.VMEM) if chars else
-                 pl.BlockSpec((r_tip, cs, bl),
-                              lambda j, c, t, e: (z, z, j),
-                              memory_space=pltpu.VMEM)),
+                _tip_blockspec(tip_encoding, r_tip, cs, bl, 2),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t, e: (z, z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t, e: (z, j),
@@ -728,11 +762,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[
-                (pl.BlockSpec((-(-r_tip // 8), bl),
-                              lambda j, c, t: (z, j),
-                              memory_space=pltpu.VMEM) if chars else
-                 pl.BlockSpec((r_tip, cs, bl), lambda j, c, t: (z, z, j),
-                              memory_space=pltpu.VMEM)),
+                _tip_blockspec(tip_encoding, r_tip, cs, bl, 1),
                 pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),

@@ -194,3 +194,97 @@ def test_dyn_score_per_rate_matches_forward():
     pw = model["pattern_weights"][None, :].astype(jnp.float32)
     logl = score(slabs_c, tables, m_g, exp_t, pmatrix, wvec, pw)
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
+
+
+def test_dyn_score_protein_masks():
+    """Wide-alphabet pattern-tip mode: protein tips as 20-bit ambiguity
+    masks (one int32 word per tip/site) decoded in VMEM, scored with the
+    data-driven kernels, vs the XLA forward."""
+    from libpll_tpu.engine.evaluate import (_pmatrices, make_forward,
+                                            topology_from_tree)
+    from libpll_tpu.models.gamma import compute_gamma_cats
+    from libpll_tpu.models.gtr import eigen_decompose
+    from libpll_tpu.tree import utree as ut
+
+    rng = np.random.default_rng(2)
+    states, rate_cats, sites = 20, 2, 128
+    newick = _random_tree_newick(12, rng)
+    tree = ut.parse_newick_string(newick)
+    tips = tree.tip_count
+    topo, branches = topology_from_tree(tree, sites)
+    params = rng.uniform(0.5, 2.0, states * (states - 1) // 2)
+    freqs = rng.uniform(0.1, 1.0, states)
+    freqs /= freqs.sum()
+    w, left, right = eigen_decompose(params, freqs)
+    dtype = jnp.float32
+    model = {
+        "branch_lengths": jnp.asarray(branches, dtype),
+        "rates": jnp.asarray(compute_gamma_cats(1.0, rate_cats), dtype),
+        "prop_invar": jnp.zeros((1,), dtype),
+        "params_indices": jnp.zeros(rate_cats, np.int32),
+        "eigenvals": jnp.asarray(w[None], dtype),
+        "left": jnp.asarray(left[None], dtype),
+        "right": jnp.asarray(right[None], dtype),
+        "freqs_pc": jnp.asarray(
+            np.broadcast_to(freqs, (rate_cats, states)), dtype),
+        "prop_invar_pc": jnp.zeros((rate_cats,), dtype),
+        "rate_weights": jnp.full((rate_cats,), 1.0 / rate_cats, dtype),
+        "pattern_weights": jnp.ones((sites,), dtype),
+        "invariant": jnp.full((sites,), -1, jnp.int32),
+    }
+    # masks: mostly unambiguous, a few gaps (all-ones) and 2-state ambigs
+    st = rng.integers(0, states, (tips, sites))
+    masks = (1 << st.astype(np.uint32))
+    gap = rng.random((tips, sites)) < 0.03
+    masks[gap] = (1 << states) - 1
+    amb = rng.random((tips, sites)) < 0.03
+    masks[amb] |= (1 << rng.integers(0, states, (tips, sites))
+                   ).astype(np.uint32)[amb]
+
+    clv = np.zeros((2 * tips - 2, rate_cats, states, sites), np.float32)
+    for s in range(states):
+        clv[:tips, :, s, :] = ((masks >> s) & 1)[:, None, :]
+    clv = jnp.asarray(clv)
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, sites), jnp.int32)
+    pmatrix = _pmatrices(model, topo, dtype)
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=rate_cats, states=states, max_rows=12,
+        chunk=4, ensure_rows=[topo.parent_clv, topo.child_clv])
+    tables, m_g, exp_t = cpd.dyn_score_args(dyn)
+    slabs = cpd.pack_tipmasks_dyn(masks, dyn)
+    score = cpd.make_dyn_score(
+        dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        SCALE_PER_SITE, rate_cats=rate_cats, states=states,
+        tip_encoding="masks", interpret=True)
+    wvec = cp.pack_weight_vec(model["freqs_pc"], model["rate_weights"],
+                              "vpu")
+    pw = model["pattern_weights"][None, :].astype(jnp.float32)
+    logl = score(slabs, tables, m_g, exp_t, pmatrix, wvec, pw)
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-5)
+
+
+def test_dyn_sweep_masks_matches_chars():
+    """For a 4-state alphabet the masks and chars encodings must produce
+    bit-identical sweeps."""
+    rng = np.random.default_rng(5)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(20, rng), sites=128, seed=5)
+    t = topo.schedule.tips
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=4, states=4, max_rows=20, chunk=8,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    tables, m_g = cpd.dyn_runtime_args(dyn)
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.int32)
+             * (1 << np.arange(4))[:, None][None]).sum(axis=1)
+    out = {}
+    for enc, pack in (("chars", cpd.pack_tipchars_dyn),
+                      ("masks", cpd.pack_tipmasks_dyn)):
+        sweep = cpd.make_dyn_sweep(dyn, SCALE_PER_SITE, rate_cats=4,
+                                   states=4, tip_encoding=enc,
+                                   interpret=True)
+        out[enc] = sweep(pack(masks, dyn), tables, m_g, pmatrix)
+    assert jnp.array_equal(out["chars"][0], out["masks"][0])
+    assert jnp.array_equal(out["chars"][1], out["masks"][1])
