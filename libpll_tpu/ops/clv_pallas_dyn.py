@@ -85,13 +85,25 @@ def _dyn_max_rows(cs: int, itemsize: int, bl: int) -> int:
                // per_row)
 
 
+def _pick_chunk(states: int, rate_cats: int, block_sites: int = 128,
+                itemsize: int = 4) -> int:
+    """Ops per unrolled kernel chunk, sized so the chunk's live roll/FMA
+    temporaries (~states · C·S · block · itemsize each) fit Mosaic's
+    scoped-VMEM stack: 64 for DNA-sized alphabets, ~16-20 for protein."""
+    budget = 8 * 1024 * 1024
+    per_op = states * states * rate_cats * block_sites * itemsize
+    return int(max(8, min(CHUNK, budget // per_op)))
+
+
 def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
                        itemsize: int = 4, block_sites: int = 128,
                        max_rows: Optional[int] = None,
-                       chunk: int = CHUNK,
+                       chunk: Optional[int] = None,
                        ensure_rows: Sequence[int] = ()) -> DynSchedule:
     """Segment (via clv_pallas_seg) and pad to one uniform kernel shape."""
     cs = rate_cats * states
+    if chunk is None:
+        chunk = _pick_chunk(states, rate_cats, block_sites, itemsize)
     if max_rows is None:
         max_rows = _dyn_max_rows(cs, itemsize, block_sites)
     seg = build_segmented_schedule(schedule, rate_cats=rate_cats,
