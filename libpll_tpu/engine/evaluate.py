@@ -320,19 +320,20 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     masks = np.asarray(tip_masks)
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
+    impl = "vpu" if states <= 8 else "mxu"
     slabs = (cpd.pack_tipchars_dyn(masks, dyn) if enc == "chars"
              else cpd.pack_tipmasks_dyn(masks, dyn))
     tables, m_gathers, exp_tables = cpd.dyn_score_args(dyn)
     score_kernel = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
-        tip_encoding=enc, interpret=interpret)
+        tip_encoding=enc, impl=impl, interpret=interpret)
 
     def score(model):
         dtype = model["freqs_pc"].dtype
         pmatrix = _pmatrices(model, topo, dtype)
         wvec = cp.pack_weight_vec(model["freqs_pc"],
-                                  model["rate_weights"], "vpu")
+                                  model["rate_weights"], impl)
         pw = model["pattern_weights"].astype(dtype)[None, :]
         return score_kernel(slabs, tables, m_gathers, exp_tables, pmatrix,
                             wvec, pw)

@@ -36,9 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
                                scale_shift_bits)
 from .clv import _scale_consts
-from .clv_pallas import (_VMEM_BUDGET, fold_rate_scalers_inkernel,
-                         make_rate_mask, make_rate_sum,
-                         roll_coeff_pmatrices)
+from .clv_pallas import (_VMEM_BUDGET, block_diag_pmatrices,
+                         fold_rate_scalers_inkernel, make_rate_mask,
+                         make_rate_sum, roll_coeff_pmatrices)
 from .clv_pallas_seg import SegmentedSchedule, build_segmented_schedule
 
 CHUNK = 64  # ops per grid step (the unrolled kernel body size)
@@ -257,17 +257,23 @@ def _tip_blockspec(tip_encoding, r_tip, cs, bl, n_prefetch):
     return pl.BlockSpec((r_tip, cs, bl), m3, memory_space=pltpu.VMEM)
 
 
-def _make_tip_decoder(tip_encoding, r_tip, rate_cats, states):
+def _make_tip_decoder(tip_encoding, r_tip, rate_cats, states,
+                      impl: str = "vpu"):
     """In-VMEM decode of a segment's tip slab into 0/1 CLV state rows
-    (state-major layout; reference set_tipclv bit walk, pll.c:925-931).
-    Scalar shifts only: Mosaic's vector-shift-by-vector lowering recurses
-    under x64."""
+    (state-major rows for the vpu-roll contraction, rate-major for mxu;
+    reference set_tipclv bit walk, pll.c:925-931).  Scalar shifts only:
+    Mosaic's vector-shift-by-vector lowering recurses under x64."""
     def bits_of(word, dtype):
         bl_ = word.shape[-1]
-        return jnp.concatenate(
-            [jnp.broadcast_to(jnp.right_shift(word, np.int32(s)) & 1,
-                              (rate_cats, bl_)) for s in range(states)],
-            axis=0).astype(dtype)
+        if impl == "vpu":  # row s*C + c
+            return jnp.concatenate(
+                [jnp.broadcast_to(jnp.right_shift(word, np.int32(s)) & 1,
+                                  (rate_cats, bl_)) for s in range(states)],
+                axis=0).astype(dtype)
+        block = jnp.concatenate(  # row c*S + s
+            [jnp.right_shift(word, np.int32(s)) & 1 for s in range(states)],
+            axis=0)
+        return jnp.concatenate([block] * rate_cats, axis=0).astype(dtype)
 
     if tip_encoding == "clv":
         def decode(tips_ref, state, dtype):
@@ -286,16 +292,24 @@ def _make_tip_decoder(tip_encoding, r_tip, rate_cats, states):
     return decode
 
 
+def _coeff_lanes(w: int) -> int:
+    """Lane width of one coefficient tile: 128, or the next 128-multiple
+    that holds one op's two w-wide tables (mxu wide-state case)."""
+    return max(128, -(-2 * w // 128) * 128)
+
+
 def _pack_op_coeff(coeff_ops: jax.Array, w: int, chunk: int
                    ) -> Tuple[jax.Array, int]:
-    """[n_ops_pad, 2, cs, w] op-ordered roll tables -> lane-packed tiles
-    [n_chunks*tiles_per_chunk, cs, 128]; within a chunk, op k occupies
+    """[n_ops_pad, 2, cs, w] op-ordered coefficient tables (roll tables
+    for vpu, block-diag matrices for mxu) -> lane-packed tiles
+    [n_chunks*tiles_per_chunk, cs, lanes]; within a chunk, op k occupies
     lanes [(k % per)·2w, +2w) of the chunk's tile k // per (left side
     first).  Packing is per-chunk so tile addressing stays aligned for any
     chunk size."""
     n_ops, _, cs, w_ = coeff_ops.shape
     assert w_ == w and n_ops % chunk == 0
-    per = 128 // (2 * w)
+    lanes = _coeff_lanes(w)
+    per = lanes // (2 * w)
     tiles_per_chunk = -(-chunk // per)
     n_chunks = n_ops // chunk
     pad = tiles_per_chunk * per - chunk  # in-chunk padding
@@ -306,16 +320,37 @@ def _pack_op_coeff(coeff_ops: jax.Array, w: int, chunk: int
     x = x.reshape(n_chunks * tiles_per_chunk, per, 2, cs, w)
     x = x.transpose(0, 3, 1, 2, 4).reshape(
         n_chunks * tiles_per_chunk, cs, per * 2 * w)
-    lane_pad = 128 - per * 2 * w
+    lane_pad = lanes - per * 2 * w
     if lane_pad:
         x = jnp.concatenate(
             [x, jnp.zeros((x.shape[0], cs, lane_pad), x.dtype)], axis=2)
     return x, per
 
 
+def _dyn_contract(impl: str, states: int, rate_cats: int, w: int):
+    """In-kernel child contraction at a static lane offset of a chunk
+    coefficient tile: vpu cyclic-roll FMAs or one [cs, cs] @ [cs, bl]
+    MXU matmul (block-diagonal table)."""
+    cs = rate_cats * states
+
+    def contract(coeff_ref, tile, off, x, dtype):
+        if impl == "mxu":
+            return jnp.dot(coeff_ref[tile, :, off:off + w], x,
+                           preferred_element_type=dtype)
+        acc = coeff_ref[tile, :, off:off + 1] * x
+        for d in range(1, w):
+            shift = np.int32((cs - d * rate_cats) % cs)
+            acc = acc + (coeff_ref[tile, :, off + d:off + d + 1]
+                         * pltpu.roll(x, shift, 0))
+        return acc
+
+    return contract
+
+
 def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
-                   tip_encoding: str = "clv", interpret: bool = False):
+                   tip_encoding: str = "clv", impl: str = "auto",
+                   interpret: bool = False):
     """Build ``sweep(tip_slabs, tables, m_gathers, pmatrix) -> (inner,
     scalers)`` where ``tables``/``m_gathers`` come from
     :func:`dyn_runtime_args` — all segments run one compiled kernel.
@@ -329,8 +364,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     wide-alphabet variant (protein: 20-bit masks, one int32 word per
     tip/site, from :func:`pack_tipmasks_dyn`).
 
-    VPU-roll contraction only (DNA-sized states); inner rows are
-    segment-major (``dyn.inner_row`` translates level-major ids).
+    impl="vpu" (cyclic-roll FMAs, best for DNA-sized states) or "mxu"
+    (block-diagonal [C·S, C·S] matmuls, best for protein); "auto" picks by
+    state count.  Inner rows are segment-major (``dyn.inner_row``
+    translates level-major ids).
 
     scale_mode=SCALE_PER_RATE keeps one counter per (site, rate): every
     scaler array holds ``C`` node-major rows per node and the returned
@@ -341,9 +378,14 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         raise ValueError(f"unsupported scale mode {scale_mode}")
     if tip_encoding not in _TIP_ENCODINGS:
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+    if impl not in ("vpu", "mxu"):
+        raise ValueError(f"unknown impl {impl!r}")
     cs = rate_cats * states
-    w = states
-    per = 128 // (2 * w)
+    w = states if impl == "vpu" else cs
+    lanes = _coeff_lanes(w)
+    per = lanes // (2 * w)
     chunk_sz = dyn.chunk
     tiles_per_chunk = -(-chunk_sz // per)
     r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
@@ -354,8 +396,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     n_scal = sloc0 + r_loc + 2  # + dummy + trash (node units)
     per_rate = scale_mode == SCALE_PER_RATE
     srows = rate_cats if per_rate else 1  # scaler rows per node
-    rate_mask = make_rate_mask("vpu", states, rate_cats)
-    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states)
+    rate_mask = make_rate_mask(impl, states, rate_cats)
+    contract = _dyn_contract(impl, states, rate_cats, w)
+    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states,
+                                    impl)
 
     def kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
                out_ref, out_scal_ref, state, scal):
@@ -385,18 +429,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
 
             tile = k // per
             off = (k % per) * 2 * w
-            a1 = state[c1]
-            a2 = state[c2]
-            left = coeff_ref[tile, :, off:off + 1] * a1
-            right = coeff_ref[tile, :, off + w:off + w + 1] * a2
-            for d in range(1, w):
-                shift = np.int32((cs - d * rate_cats) % cs)
-                left = left + (coeff_ref[tile, :, off + d:off + d + 1]
-                               * pltpu.roll(a1, shift, 0))
-                right = right + (
-                    coeff_ref[tile, :, off + w + d:off + w + d + 1]
-                    * pltpu.roll(a2, shift, 0))
-            x = left * right
+            x = (contract(coeff_ref, tile, off, state[c1], dtype)
+                 * contract(coeff_ref, tile, off + w, state[c2], dtype))
             cnt = (scal[pl.ds(s1 * srows, srows), :]
                    + scal[pl.ds(s2 * srows, srows), :])
             if scale_mode == SCALE_PER_SITE:
@@ -432,7 +466,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                pl.BlockSpec((tiles_per_chunk, cs, lanes),
                              lambda j, c, t: (c, z, z),
                              memory_space=pltpu.VMEM),
             ],
@@ -462,7 +496,8 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
         sites = tip_slabs[0].shape[-1]
         if sites % block_sites:
             raise ValueError(f"sites must divide {block_sites}")
-        coeff = roll_coeff_pmatrices(pmatrix)  # [M, cs, w]
+        coeff = (roll_coeff_pmatrices(pmatrix) if impl == "vpu"
+                 else block_diag_pmatrices(pmatrix))  # [M, cs, w]
 
         seg_out, seg_scal = [], []
         for si, s in enumerate(dyn.segments):
@@ -552,7 +587,8 @@ def _all_imports(dyn):
 def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                    edge_matrix: int, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
-                   tip_encoding: str = "chars", interpret: bool = False):
+                   tip_encoding: str = "chars", impl: str = "auto",
+                   interpret: bool = False):
     """Tree-search scoring at unbounded tree size with O(1) compile cost:
     leaf segments keep all CLVs in VMEM scratch and export only the few
     subtree-root rows later segments import; the final segment folds the
@@ -569,9 +605,14 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         raise ValueError(f"unsupported scale mode {scale_mode}")
     if tip_encoding not in _TIP_ENCODINGS:
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+    if impl == "auto":
+        impl = "vpu" if states <= 8 else "mxu"
+    if impl not in ("vpu", "mxu"):
+        raise ValueError(f"unknown impl {impl!r}")
     cs = rate_cats * states
-    w = states
-    per = 128 // (2 * w)
+    w = states if impl == "vpu" else cs
+    lanes = _coeff_lanes(w)
+    per = lanes // (2 * w)
     chunk_sz = dyn.chunk
     tiles_per_chunk = -(-chunk_sz // per)
     r_tip, r_imp, r_loc = dyn.r_tip, dyn.r_imp, dyn.r_loc
@@ -583,8 +624,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     last = len(dyn.segments) - 1
     per_rate = scale_mode == SCALE_PER_RATE
     srows = rate_cats if per_rate else 1
-    rate_mask = make_rate_mask("vpu", states, rate_cats)
-    rate_sum = make_rate_sum("vpu", states, rate_cats)
+    rate_mask = make_rate_mask(impl, states, rate_cats)
+    rate_sum = make_rate_sum(impl, states, rate_cats)
+    contract = _dyn_contract(impl, states, rate_cats, w)
 
     exp_tabs_np, exp_pos, r_exp = _export_tables(dyn)
 
@@ -603,7 +645,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     p_state, p_scal = locate(parent_lm, "parent")
     c_state, c_scal = locate(child_lm, "child")
 
-    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states)
+    decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states,
+                                    impl)
 
     def op_body(table_ref, coeff_ref, state, scal, chunk, dtype, thresh,
                 factor, out_cb):
@@ -618,18 +661,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             has = table_ref[row, 5]
             tile = k // per
             off = (k % per) * 2 * w
-            a1 = state[c1]
-            a2 = state[c2]
-            left = coeff_ref[tile, :, off:off + 1] * a1
-            right = coeff_ref[tile, :, off + w:off + w + 1] * a2
-            for d in range(1, w):
-                shift = np.int32((cs - d * rate_cats) % cs)
-                left = left + (coeff_ref[tile, :, off + d:off + d + 1]
-                               * pltpu.roll(a1, shift, 0))
-                right = right + (
-                    coeff_ref[tile, :, off + w + d:off + w + d + 1]
-                    * pltpu.roll(a2, shift, 0))
-            x = left * right
+            x = (contract(coeff_ref, tile, off, state[c1], dtype)
+                 * contract(coeff_ref, tile, off + w, state[c2], dtype))
             cnt = (scal[pl.ds(s1 * srows, srows), :]
                    + scal[pl.ds(s2 * srows, srows), :])
             if scale_mode == SCALE_PER_SITE:
@@ -701,11 +734,15 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         def _():
             child_row = state[c_state]
             # edge contraction with the edge matrix in its own [cs, w] tile
-            termb = edge_coeff_ref[0, :, 0:1] * child_row
-            for d in range(1, w):
-                shift = np.int32((cs - d * rate_cats) % cs)
-                termb = termb + (edge_coeff_ref[0, :, d:d + 1]
-                                 * pltpu.roll(child_row, shift, 0))
+            if impl == "mxu":
+                termb = jnp.dot(edge_coeff_ref[0], child_row,
+                                preferred_element_type=dtype)
+            else:
+                termb = edge_coeff_ref[0, :, 0:1] * child_row
+                for d in range(1, w):
+                    shift = np.int32((cs - d * rate_cats) % cs)
+                    termb = termb + (edge_coeff_ref[0, :, d:d + 1]
+                                     * pltpu.roll(child_row, shift, 0))
             y = state[p_state] * termb * wvec_ref[...]
             snum = (scal[pl.ds(p_scal * srows, srows), :]
                     + scal[pl.ds(c_scal * srows, srows), :])
@@ -738,7 +775,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t, e: (z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                pl.BlockSpec((tiles_per_chunk, cs, lanes),
                              lambda j, c, t, e: (c, z, z),
                              memory_space=pltpu.VMEM),
             ],
@@ -779,7 +816,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tiles_per_chunk, cs, 128),
+                pl.BlockSpec((tiles_per_chunk, cs, lanes),
                              lambda j, c, t: (c, z, z),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cs, w), lambda j, c, t: (z, z, z),
@@ -809,7 +846,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         sites = tip_slabs[0].shape[-1]
         if sites % block_sites:
             raise ValueError(f"sites must divide {block_sites}")
-        coeff = roll_coeff_pmatrices(pmatrix)
+        coeff = (roll_coeff_pmatrices(pmatrix) if impl == "vpu"
+                 else block_diag_pmatrices(pmatrix))
         edge_coeff = coeff[edge_matrix][None]  # [1, cs, w]
 
         seg_exp, seg_exp_scal = [], []

@@ -196,10 +196,11 @@ def test_dyn_score_per_rate_matches_forward():
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
 
 
-def test_dyn_score_protein_masks():
+@pytest.mark.parametrize("impl", ["vpu", "mxu"])
+def test_dyn_score_protein_masks(impl):
     """Wide-alphabet pattern-tip mode: protein tips as 20-bit ambiguity
     masks (one int32 word per tip/site) decoded in VMEM, scored with the
-    data-driven kernels, vs the XLA forward."""
+    data-driven kernels (both contraction impls), vs the XLA forward."""
     from libpll_tpu.engine.evaluate import (_pmatrices, make_forward,
                                             topology_from_tree)
     from libpll_tpu.models.gamma import compute_gamma_cats
@@ -257,9 +258,9 @@ def test_dyn_score_protein_masks():
     score = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         SCALE_PER_SITE, rate_cats=rate_cats, states=states,
-        tip_encoding="masks", interpret=True)
+        tip_encoding="masks", impl=impl, interpret=True)
     wvec = cp.pack_weight_vec(model["freqs_pc"], model["rate_weights"],
-                              "vpu")
+                              impl)
     pw = model["pattern_weights"][None, :].astype(jnp.float32)
     logl = score(slabs, tables, m_g, exp_t, pmatrix, wvec, pw)
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-5)
