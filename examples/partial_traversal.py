@@ -1,20 +1,39 @@
 """Partial-traversal CLV reuse after an SPR move.
 
-Port of reference examples/partial-traversal (partial.c): after a topology
-move only the invalidated CLVs are recomputed; the logL matches a full
-recomputation."""
+Port of reference examples/partial-traversal (partial.c): per-direction
+``clv_valid`` flags track which orientation each ring's CLV buffer holds;
+after a topology move only the invalidated CLVs are recomputed (a strict
+subset of the full schedule) and the logL matches a full recomputation."""
 
 from _common import dna_partition
 
 from libpll_tpu.errors import SprError
+from libpll_tpu.tree import incremental as inc
 from libpll_tpu.tree import moves, utree as ut
 
 
-def evaluate(tree, part, ops_subset=None):
+def full_evaluate(tree, part):
     trav = ut.traverse(tree.root)
     ops, blens, midx = ut.create_operations(trav)
     part.update_prob_matrices([0] * part.rate_cats, midx, blens)
-    part.update_partials(ops if ops_subset is None else ops_subset)
+    part.update_partials(ops)
+    inc.mark_valid(trav)
+    return edge_logl(tree, part), len(ops)
+
+
+def partial_evaluate(tree, part, changed):
+    """Refresh only the changed P-matrices + the dirty op subset."""
+    if changed:
+        part.update_prob_matrices([0] * part.rate_cats,
+                                  [m for _, m in changed],
+                                  [b for b, _ in changed])
+    ops = inc.create_partial_operations(inc.partial_traverse(tree.root))
+    if ops:
+        part.update_partials(ops)
+    return edge_logl(tree, part), len(ops)
+
+
+def edge_logl(tree, part):
     r = tree.root
     return part.compute_edge_loglikelihood(
         r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
@@ -23,8 +42,8 @@ def evaluate(tree, part, ops_subset=None):
 
 def main():
     tree, part, trav = dna_partition()
-    logl = evaluate(tree, part)
-    print(f"initial logL: {logl:.6f}")
+    logl, n_full = full_evaluate(tree, part)
+    print(f"initial logL: {logl:.6f}  ({n_full} CLV ops)")
 
     inner = [n for n in trav if not n.is_tip and n is not tree.root]
     rb = moves.Rollback(moves.MOVE_SPR)
@@ -40,19 +59,13 @@ def main():
     print(f"SPR changed {len(changed)} branches "
           f"(pmatrix idx {[m for _, m in changed]})")
 
-    # refresh only the changed P-matrices; re-run partials for the dirty
-    # subtrees (here the schedule is small, so we simply rebuild it — the
-    # clv_valid-style pruning is exercised in tests/test_tree.py)
-    part.update_prob_matrices([0] * part.rate_cats,
-                              [m for _, m in changed],
-                              [b for b, _ in changed])
-    logl2 = evaluate(tree, part)
-    print(f"after SPR:   {logl2:.6f}")
+    logl2, n_part = partial_evaluate(tree, part, changed)
+    print(f"after SPR:   {logl2:.6f}  ({n_part}/{n_full} CLV ops recomputed)")
 
-    moves.rollback_move(rb)
-    logl3 = evaluate(tree, part)
-    print(f"rolled back: {logl3:.6f} (matches initial: "
-          f"{abs(logl3 - logl) < 1e-12})")
+    restored = moves.rollback_move(rb)
+    logl3, n_back = partial_evaluate(tree, part, restored)
+    print(f"rolled back: {logl3:.6f}  ({n_back}/{n_full} ops; matches "
+          f"initial: {abs(logl3 - logl) < 1e-12})")
 
 
 if __name__ == "__main__":

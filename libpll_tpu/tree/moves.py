@@ -50,6 +50,14 @@ def _link(a: UNode, b: UNode, length: float, pmatrix_index: int) -> None:
     b.back = a
     a.length = b.length = length
     a.pmatrix_index = b.pmatrix_index = pmatrix_index
+    # every directed CLV whose children involve the relinked edge is now
+    # stale (tree/incremental.py tracks per-direction validity; upward
+    # propagation happens in partial_traverse)
+    for end in (a, b):
+        if end.next is not None:
+            for m in end.ring():
+                if m is not end:
+                    m.clv_valid = False
 
 
 def _swap(t1: UNode, t2: UNode) -> None:

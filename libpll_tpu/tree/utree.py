@@ -33,7 +33,7 @@ class UNode:
     """One directed end of an edge; inner nodes are rings of three."""
 
     __slots__ = ("label", "length", "node_index", "clv_index", "scaler_index",
-                 "pmatrix_index", "next", "back", "data")
+                 "pmatrix_index", "next", "back", "data", "clv_valid")
 
     def __init__(self, label: Optional[str] = None, length: float = 0.0):
         self.label = label
@@ -45,6 +45,9 @@ class UNode:
         self.next: Optional[UNode] = None
         self.back: Optional[UNode] = None
         self.data = None
+        # per-direction CLV validity (tree/incremental.py; the reference's
+        # clv_valid-via-data-pointer trick, stepwise.c:103-123)
+        self.clv_valid = False
 
     @property
     def is_tip(self) -> bool:
@@ -371,6 +374,7 @@ def clone(tree: UTree) -> UTree:
         c.clv_index = node.clv_index
         c.scaler_index = node.scaler_index
         c.pmatrix_index = node.pmatrix_index
+        c.clv_valid = node.clv_valid
         return c
 
     def rec(node: UNode) -> UNode:

@@ -1,6 +1,7 @@
 """Incremental re-evaluation after topology moves (SURVEY §3.5; reference
 examples/partial-traversal/partial.c + utree_moves.c): after an SPR/NNI,
-refresh only the changed P-matrices and the invalidated CLVs, and the edge
+refresh only the changed P-matrices and the invalidated CLVs — the partial
+traversal must yield a *strict subset* of the full schedule — and the edge
 log-likelihood must equal a from-scratch evaluation of the new topology.
 Rollback must restore the original logL exactly."""
 
@@ -10,6 +11,7 @@ import pytest
 import jax.numpy as jnp
 
 import libpll_tpu as pll
+from libpll_tpu.tree import incremental as inc
 from libpll_tpu.tree import moves, utree as ut
 
 NEWICK = ("((A:0.10,B:0.20):0.30,((C:0.15,D:0.25):0.12,"
@@ -38,29 +40,59 @@ def _fresh():
 
 
 def _full_eval(tree, part):
+    """Full traversal + schedule; marks per-direction validity flags."""
     trav = ut.traverse(tree.root)
     ops, blens, midx = ut.create_operations(trav)
     part.update_prob_matrices([0] * CATS, midx, blens)
     part.update_partials(ops)
+    inc.mark_valid(trav)
     r = tree.root
     return part.compute_edge_loglikelihood(
         r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
         r.pmatrix_index, [0] * CATS)
 
 
-def _collect_blens(tree):
-    """(branch_length, pmatrix_index) for every edge, from the node array."""
-    seen = {}
-    for n in tree.nodes:
-        ring = [n] if n.is_tip else list(n.ring())
-        for m in ring:
-            seen[m.pmatrix_index] = m.length
-    return seen
+def _eval_edge(tree, part):
+    r = tree.root
+    return part.compute_edge_loglikelihood(
+        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
+        r.pmatrix_index, [0] * CATS)
 
 
-def test_spr_incremental_matches_full():
+def _scratch_logl(tree):
+    """From-scratch evaluation of the same topology on a fresh partition."""
+    tree_check = ut.parse_newick_string(ut.export_newick(tree.root))
+    part2 = _fresh()[1]
+    trav = ut.traverse(tree_check.root)
+    order = {n.label: n.clv_index for n in trav if n.label}
+    for lab in SEQS:
+        part2.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
+    return _full_eval(tree_check, part2)
+
+
+def _incremental_eval(tree, part, changed):
+    """Refresh changed P-matrices + the minimal invalidated op subset;
+    returns (logl, n_partial_ops)."""
+    if changed:
+        bl = [b for b, _ in changed]
+        mi = [m for _, m in changed]
+        part.update_prob_matrices([0] * CATS, mi, bl)
+    dirty = inc.partial_traverse(tree.root)
+    ops = inc.create_partial_operations(dirty)
+    if ops:
+        part.update_partials(ops)
+    return _eval_edge(tree, part), len(ops)
+
+
+def test_spr_incremental_is_partial():
     tree, part = _fresh()
     logl0 = _full_eval(tree, part)
+    n_full = TIPS - 2  # inner nodes in the full schedule
+
+    # repeated evaluation with no changes: empty op subset, identical logL
+    logl_again, n_ops = _incremental_eval(tree, part, [])
+    assert n_ops == 0
+    assert logl_again == logl0
 
     # SPR: pick the first legal (prune node, regraft edge) pair
     from libpll_tpu.errors import SprError
@@ -79,49 +111,26 @@ def test_spr_incremental_matches_full():
             break
     assert changed, "no legal SPR found"
 
-    # incremental: refresh only changed P-matrices, partial traversal for
-    # invalidated CLVs (here: recompute ops whose subtree changed — the
-    # partial traversal yields the same schedule subset the reference's
-    # clv_valid flags would)
-    bl = [b for b, _ in changed]
-    mi = [m for _, m in changed]
-    part.update_prob_matrices([0] * CATS, mi, bl)
-    trav2 = ut.traverse(tree.root)
-    ops2, blens2, midx2 = ut.create_operations(trav2)
-    part.update_partials(ops2)  # device schedule: all ops (cheap at 7 taxa)
-    r = tree.root
-    logl_inc = part.compute_edge_loglikelihood(
-        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
-        r.pmatrix_index, [0] * CATS)
+    logl_inc, n_ops = _incremental_eval(tree, part, changed)
+    # the partial schedule must be a STRICT subset of the full schedule —
+    # this fails if invalidation degenerates to a full recompute
+    assert 0 < n_ops < n_full, (n_ops, n_full)
 
-    # from-scratch evaluation of the SAME (mutated) topology
-    tree_check = ut.parse_newick_string(ut.export_newick(tree.root) )
-    part2 = _fresh()[1]
-    trav3 = ut.traverse(tree_check.root)
-    order = {n.label: n.clv_index for n in trav3 if n.label}
-    for lab in SEQS:
-        part2.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
-    logl_scratch = _full_eval(tree_check, part2)
-    assert abs(logl_inc - logl_scratch) < 1e-9
+    assert abs(logl_inc - _scratch_logl(tree)) < 1e-9
     assert abs(logl_inc - logl0) > 1e-6  # the move actually changed the tree
 
-    # rollback restores the original logL bit-for-bit
+    # rollback restores the original logL bit-for-bit, again incrementally
     restored = moves.rollback_move(rb)
-    bl = [b for b, _ in restored]
-    mi = [m for _, m in restored]
-    part.update_prob_matrices([0] * CATS, mi, bl)
-    trav4 = ut.traverse(tree.root)
-    ops4, blens4, midx4 = ut.create_operations(trav4)
-    part.update_partials(ops4)
-    logl_back = part.compute_edge_loglikelihood(
-        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
-        r.pmatrix_index, [0] * CATS)
+    logl_back, n_ops_back = _incremental_eval(tree, part, restored)
+    assert 0 < n_ops_back < n_full
     assert logl_back == logl0
 
 
-def test_nni_incremental_matches_full():
+def test_nni_incremental_is_partial():
     tree, part = _fresh()
     logl0 = _full_eval(tree, part)
+    n_full = TIPS - 2
+
     trav = ut.traverse(tree.root)
     # an inner edge: both endpoints inner
     edge = next(n for n in trav
@@ -129,32 +138,36 @@ def test_nni_incremental_matches_full():
     rb = moves.Rollback(moves.MOVE_NNI)
     moves.nni(edge, moves.NNI_LEFT, rollback=rb)
 
-    trav2 = ut.traverse(tree.root)
-    ops2, blens2, midx2 = ut.create_operations(trav2)
     # NNI keeps branch/pmatrix pairings: no P-matrix refresh needed
-    part.update_partials(ops2)
-    r = tree.root
-    logl_nni = part.compute_edge_loglikelihood(
-        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
-        r.pmatrix_index, [0] * CATS)
-
-    tree_check = ut.parse_newick_string(ut.export_newick(tree.root))
-    part2 = _fresh()[1]
-    trav3 = ut.traverse(tree_check.root)
-    order = {n.label: n.clv_index for n in trav3 if n.label}
-    for lab in SEQS:
-        part2.set_tip_states(order[lab], pll.maps.pll_map_nt, SEQS[lab])
-    logl_scratch = _full_eval(tree_check, part2)
-    assert abs(logl_nni - logl_scratch) < 1e-9
+    logl_nni, n_ops = _incremental_eval(tree, part, [])
+    assert 0 < n_ops < n_full, (n_ops, n_full)
+    assert abs(logl_nni - _scratch_logl(tree)) < 1e-9
 
     moves.rollback_move(rb)
-    trav4 = ut.traverse(tree.root)
-    ops4, _, _ = ut.create_operations(trav4)
-    part.update_partials(ops4)
-    logl_back = part.compute_edge_loglikelihood(
-        r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
-        r.pmatrix_index, [0] * CATS)
+    logl_back, n_ops_back = _incremental_eval(tree, part, [])
+    assert 0 < n_ops_back < n_full
     assert logl_back == logl0
+
+
+def test_branch_length_change_invalidates_edge():
+    """Changing one branch length invalidates only the directions looking
+    through that edge (reference newton-loop usage pattern)."""
+    tree, part = _fresh()
+    logl0 = _full_eval(tree, part)
+
+    # pick an inner edge away from the root and stretch it
+    trav = ut.traverse(tree.root)
+    edge = next(n for n in trav
+                if not n.is_tip and not n.back.is_tip and n is not tree.root
+                and n.back is not tree.root)
+    edge.length = edge.back.length = edge.length + 0.17
+    inc.invalidate_edge(edge)
+
+    logl_new, n_ops = _incremental_eval(
+        tree, part, [(edge.length, edge.pmatrix_index)])
+    assert 0 < n_ops < TIPS - 2
+    assert abs(logl_new - _scratch_logl(tree)) < 1e-9
+    assert abs(logl_new - logl0) > 1e-8
 
 
 def test_hky_via_gtr_parameterization():
