@@ -27,7 +27,14 @@ class FastaRecord:
 
 
 class FastaReader:
-    """Iterate records of a FASTA file (reference `pll_fasta_open/getnext`)."""
+    """Streaming FASTA reader (reference `pll_fasta_open/getnext/rewind/
+    getfilesize/getfilepos/close`, src/pll.h:666-681): records are consumed
+    one at a time with :meth:`getnext` (None at end of file — the
+    counterpart of the reference's ``pll_errno == PLL_ERROR_FILE_EOF``
+    convention), :meth:`rewind` restarts the stream, and
+    :meth:`getfilepos` / :meth:`getfilesize` report byte progress through
+    the file (the reference's use case: progress reporting while parsing
+    large alignments)."""
 
     def __init__(self, path: str, charmap: np.ndarray | None = None):
         self.path = path
@@ -38,33 +45,75 @@ class FastaReader:
                 self._data = fh.read()
         except OSError as e:
             raise FileError(f"Unable to open file ({path})") from e
-        self._lines = self._data.decode("latin-1").splitlines()
+        text = self._data.decode("latin-1")
+        # line start offsets (byte == char offsets in latin-1)
+        self._lines: List[str] = []
+        self._offsets: List[int] = []
+        pos = 0
+        for line in text.splitlines(keepends=True):
+            self._lines.append(line.rstrip("\r\n"))
+            self._offsets.append(pos)
+            pos += len(line)
+        self._offsets.append(len(text))  # EOF sentinel
         if not any(ln.startswith(">") for ln in self._lines if ln.strip()):
             raise FastaError(f"Invalid FASTA format in {path}")
+        self._cursor = 0
+        self._seqno = 0
+        self._closed = False
 
-    def __iter__(self) -> Iterator[FastaRecord]:
-        header = None
+    # ------------------------------------------------------------------
+    # streaming interface
+    # ------------------------------------------------------------------
+    def getnext(self) -> "FastaRecord | None":
+        """Next record, or None at end of file."""
+        if self._closed:
+            raise FileError("FASTA reader is closed")
+        n = len(self._lines)
+        # skip blanks up to the next header
+        while self._cursor < n and not self._lines[self._cursor].strip():
+            self._cursor += 1
+        if self._cursor >= n:
+            return None
+        line = self._lines[self._cursor]
+        if not line.startswith(">"):
+            raise FastaError("sequence data before first header")
+        header = line[1:].strip()
+        self._cursor += 1
         chunks: List[str] = []
         stripped = 0
-        seqno = 0
-        for line in self._lines:
-            if line.startswith(">"):
-                if header is not None:
-                    yield FastaRecord(header, "".join(chunks), stripped, seqno)
-                    seqno += 1
-                header = line[1:].strip()
-                chunks = []
-                stripped = 0
-                continue
-            if header is None:
-                if line.strip():
-                    raise FastaError("sequence data before first header")
-                continue
-            kept, s = _filter_sequence_line(line, self.map)
+        while self._cursor < n and not self._lines[self._cursor].startswith(">"):
+            kept, s = _filter_sequence_line(self._lines[self._cursor],
+                                            self.map)
             chunks.append(kept)
             stripped += s
-        if header is not None:
-            yield FastaRecord(header, "".join(chunks), stripped, seqno)
+            self._cursor += 1
+        rec = FastaRecord(header, "".join(chunks), stripped, self._seqno)
+        self._seqno += 1
+        return rec
+
+    def rewind(self) -> None:
+        """Restart the stream (reference `pll_fasta_rewind`)."""
+        self._cursor = 0
+        self._seqno = 0
+
+    def getfilesize(self) -> int:
+        """Total file size in bytes (reference `pll_fasta_getfilesize`)."""
+        return len(self._data)
+
+    def getfilepos(self) -> int:
+        """Byte offset of the read cursor (reference
+        `pll_fasta_getfilepos`)."""
+        return self._offsets[self._cursor]
+
+    def close(self) -> None:
+        """Release the buffer (reference `pll_fasta_close`)."""
+        self._closed = True
+        self._data = b""
+
+    def __iter__(self) -> Iterator[FastaRecord]:
+        self.rewind()
+        while (rec := self.getnext()) is not None:
+            yield rec
 
     def read_all(self) -> Tuple[List[str], List[str]]:
         """Return (headers, sequences)."""

@@ -287,3 +287,26 @@ def query_tipnodes(tree: RTree) -> List[RNode]:
 def query_innernodes(tree: RTree) -> List[RNode]:
     """All inner nodes (reference pll_rtree_query_innernodes)."""
     return [n for n in tree.nodes if n.left is not None]
+
+
+def show_ascii(root: RNode, out=None) -> str:
+    """ASCII rendering of a rooted tree (capability parity with
+    `pll_rtree_show_ascii`, rtree.c; layout matches tree.utree.show_ascii)."""
+    lines: List[str] = []
+
+    def rec(node: RNode, prefix: str, is_last: bool) -> None:
+        connector = "`-- " if is_last else "|-- "
+        name = node.label if node.is_tip else "*"
+        lines.append(f"{prefix}{connector}{name}:{node.length:g}")
+        if not node.is_tip:
+            ext = "    " if is_last else "|   "
+            rec(node.left, prefix + ext, False)
+            rec(node.right, prefix + ext, True)
+
+    lines.append("*" if root.label is None else str(root.label))
+    rec(root.left, "", False)
+    rec(root.right, "", True)
+    text = "\n".join(lines)
+    if out is not None:
+        out.write(text + "\n")
+    return text

@@ -119,3 +119,41 @@ def test_checkpoint_version_guard(tmp_path):
     np.savez(path, header=hdr)
     with pytest.raises(ValueError, match="version"):
         load_checkpoint(path)
+
+
+def test_fasta_streaming_interface(tmp_path):
+    """Streaming getnext/rewind/getfilesize/getfilepos/close semantics
+    (reference pll_fasta_* family, src/pll.h:666-681)."""
+    from libpll_tpu.errors import FileError
+    from libpll_tpu.io.fasta import FastaReader
+
+    p = tmp_path / "s.fas"
+    p.write_bytes(b">s1\nACGT\nACGT\n\n>s2\nTTTT\n")
+    r = FastaReader(str(p))
+    assert r.getfilepos() == 0
+    assert r.getfilesize() == 24
+    rec = r.getnext()
+    assert (rec.header, rec.sequence, rec.seqno) == ("s1", "ACGTACGT", 0)
+    assert 0 < r.getfilepos() <= r.getfilesize()
+    rec2 = r.getnext()
+    assert (rec2.header, rec2.sequence, rec2.seqno) == ("s2", "TTTT", 1)
+    assert r.getnext() is None
+    assert r.getfilepos() == r.getfilesize()
+    r.rewind()
+    assert r.getnext().header == "s1"
+    assert [x.header for x in r] == ["s1", "s2"]
+    r.close()
+    import pytest as _pytest
+    with _pytest.raises(FileError):
+        r.getnext()
+
+
+def test_rtree_show_ascii():
+    from libpll_tpu.tree import rtree as rt
+
+    t = rt.parse_newick_string(
+        "((A:0.1,B:0.2):0.3,(C:0.1,(D:0.2,E:0.1):0.2):0.4)root;")
+    text = rt.show_ascii(t.root)
+    for lab in "ABCDE":
+        assert lab + ":" in text
+    assert text.splitlines()[0] == "root"
