@@ -216,45 +216,130 @@ def make_forward_fused(topo: EvalTopology, rate_cats: int, states: int,
     return forward
 
 
+def make_asc_tail(topo: EvalTopology, rate_cats: int, states: int):
+    """Ascertainment-bias correction as an XLA side-sweep over the S
+    pseudo-columns (one all-one-state column per state; reference
+    `src/pll.c:490-495`): a full pruning pass over just S sites is a few
+    thousand FLOPs even at 10k taxa, so the fast score kernels stay
+    asc-free and the correction composes with *every* scoring path
+    (fused / segmented / dyn / sharded).  Numerics are bit-identical to
+    :func:`make_forward`'s asc path (same level sweep, same fold).
+
+    Returns ``tail(model, pmatrix) -> correction`` where ``model`` must
+    carry ``asc_weights`` [S] (the per-state weights of
+    `pll_set_asc_state_weights`; Lewis mode ignores them).
+    """
+    sweep = make_level_sweep(topo.schedule, topo.scale_mode)
+    per_rate = topo.scale_mode == SCALE_PER_RATE
+    tips, n_inner = topo.schedule.tips, topo.schedule.n_inner
+    sp = topo.scaler_row(topo.parent_clv)
+    sc = topo.scaler_row(topo.child_clv)
+    asc_mode = topo.asc_mode
+
+    def tail(model, pmatrix):
+        dtype = pmatrix.dtype
+        eye = jnp.eye(states, dtype=dtype)  # [state, column]
+        tipclv = jnp.broadcast_to(eye[None, None],
+                                  (tips, rate_cats, states, states))
+        clv = jnp.concatenate(
+            [tipclv, jnp.zeros((n_inner, rate_cats, states, states), dtype)],
+            axis=0)
+        sshape = ((n_inner + 1, rate_cats, states) if per_rate
+                  else (n_inner + 1, states))
+        clv, scalers = sweep(clv, jnp.zeros(sshape, jnp.int32), pmatrix)
+
+        termb = jnp.einsum("cjk,ckn->cjn", pmatrix[topo.edge_matrix],
+                           clv[topo.child_clv], preferred_element_type=dtype)
+        term_r = jnp.einsum("cjn,cj,cjn->cn", clv[topo.parent_clv],
+                            model["freqs_pc"].astype(dtype), termb)
+        if per_rate:
+            comb = scalers[sp] + scalers[sc]
+            site_scal, diff = lk_ops._fold_rate_scalers(comb)
+            term_r = lk_ops._apply_rate_fold(term_r, diff, dtype)
+        else:
+            site_scal = scalers[sp] + scalers[sc]
+        sum_w_real = jnp.sum(model["pattern_weights"].astype(dtype))
+        return lk_ops.asc_correction_terms(
+            term_r, site_scal, model["rate_weights"].astype(dtype),
+            model["asc_weights"].astype(dtype), sum_w_real, asc_mode, dtype)
+
+    return tail
+
+
+def _pinv_score_inputs(model, impl, dtype):
+    """(weight_vec, inv_add) for the linear in-kernel prop-invar fold:
+    ``Σ_c w_c[(1-p_c)·term_c + p_c·f_c[inv]]`` splits into a re-scaled
+    weight vector and a per-site additive term (reference mix order,
+    `src/core_likelihood.c:960-978`: per-rate scalers fold into term_c
+    first; the invariant likelihood enters unscaled)."""
+    from ..ops import clv_pallas as cp
+
+    freqs = model["freqs_pc"].astype(dtype)          # [C, S]
+    pinv = model["prop_invar_pc"].astype(dtype)      # [C]
+    rw = model["rate_weights"].astype(dtype)         # [C]
+    inv = model["invariant"]                         # [L] int32
+    wvec = cp.pack_weight_vec(freqs * (1.0 - pinv)[:, None], rw, impl)
+    has = inv >= 0
+    inv_lk = jnp.where(has[None, :], freqs[:, jnp.maximum(inv, 0)], 0.0)
+    inv_add = jnp.einsum("c,cn->n", rw * pinv, inv_lk)[None, :]  # [1, L]
+    return wvec, inv_add
+
+
 def make_score(topo: EvalTopology, rate_cats: int, states: int,
-               impl: str = "auto", interpret: bool = False):
+               impl: str = "auto", use_pinv: bool = False,
+               interpret: bool = False):
     """Tree-search scoring fast path: P-matrices → fused in-VMEM sweep with
     the edge log-likelihood folded into the kernel (inner CLVs never touch
-    HBM).  Scope: per-site/no scaling, no prop-invar, no asc-bias — the
-    standard GTR(+Γ) search configuration; callers needing more use
-    :func:`make_forward` / :func:`make_forward_fused`.
+    HBM).  Scope: per-site/no scaling; +I via the linear in-kernel fold
+    (``use_pinv``); asc-bias (topo.asc_mode) via the XLA pseudo-column
+    side-sweep (:func:`make_asc_tail`) — the full GTR(+Γ)(+I / +asc)
+    search configuration.
 
     Returns ``score(model, tips_packed) -> logl``.
     """
     from ..ops import clv_pallas as cp
 
-    if topo.asc_mode:
-        raise ValueError("fused score does not support asc-bias")
+    if topo.asc_mode and use_pinv:
+        raise ValueError("asc-bias and prop-invar are mutually exclusive")
     score_kernel = cp.make_fused_edge_score(
         topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
-        interpret=interpret)
+        use_pinv=use_pinv, interpret=interpret)
+    asc_tail = (make_asc_tail(topo, rate_cats, states)
+                if topo.asc_mode else None)
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
 
     def score(model, tips_packed):
         dtype = tips_packed.dtype
         pmatrix = _pmatrices(model, topo, dtype)
-        wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
-                                  model["rate_weights"].astype(dtype), impl)
         pw = model["pattern_weights"].astype(dtype)[None, :]
-        return score_kernel(tips_packed, pmatrix, wvec, pw)
+        if use_pinv:
+            wvec, inv_add = _pinv_score_inputs(model, impl, dtype)
+            logl = score_kernel(tips_packed, pmatrix, wvec, pw, inv_add)
+        else:
+            wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
+                                      model["rate_weights"].astype(dtype),
+                                      impl)
+            logl = score_kernel(tips_packed, pmatrix, wvec, pw)
+        if asc_tail is not None:
+            logl = logl + asc_tail(model, pmatrix)
+        return logl
 
     return score
 
 
 def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
-                       mesh, impl: str = "auto", interpret: bool = False):
+                       mesh, impl: str = "auto", use_pinv: bool = False,
+                       interpret: bool = False):
     """Multi-chip fused scoring: tips packed and sharded on the sites axis,
     each device runs the fused edge-score kernel on its local site shard
     (per-site scaling is shard-local by construction), and the partial
     log-likelihoods meet in one psum over ICI — the entire cross-device
-    traffic of a full-tree evaluation (SURVEY §2.4/§5.8).
+    traffic of a full-tree evaluation (SURVEY §2.4/§5.8).  +I rides the
+    in-kernel fold with ``inv_add`` sharded like the sites; the asc-bias
+    pseudo-column sweep (:func:`make_asc_tail`) runs replicated outside
+    the shard_map (S columns — no reason to shard).
 
     Returns ``score(model, tips_packed) -> logl`` where ``tips_packed`` is
     sharded [tips, C*S, L] (L divisible by mesh size × the kernel's site
@@ -266,24 +351,32 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
     from ..ops import clv_pallas as cp
     from ..parallel.mesh import SITES_AXIS
 
-    if topo.asc_mode:
-        raise ValueError("fused score does not support asc-bias")
+    if topo.asc_mode and use_pinv:
+        raise ValueError("asc-bias and prop-invar are mutually exclusive")
     score_kernel = cp.make_fused_edge_score(
         topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
-        interpret=interpret)
+        use_pinv=use_pinv, interpret=interpret)
+    asc_tail = (make_asc_tail(topo, rate_cats, states)
+                if topo.asc_mode else None)
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
 
     def score(model, tips_packed):
         dtype = tips_packed.dtype
         pmatrix = _pmatrices(model, topo, dtype)
-        wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
-                                  model["rate_weights"].astype(dtype), impl)
         pw = model["pattern_weights"].astype(dtype)[None, :]
+        if use_pinv:
+            wvec, inv_add = _pinv_score_inputs(model, impl, dtype)
+        else:
+            wvec = cp.pack_weight_vec(model["freqs_pc"].astype(dtype),
+                                      model["rate_weights"].astype(dtype),
+                                      impl)
+            inv_add = jnp.zeros((1, pw.shape[-1]), dtype)
 
-        def local(tp, pmat, wv, pwl):
-            part = score_kernel(tp, pmat, wv, pwl)
+        def local(tp, pmat, wv, pwl, inv):
+            part = (score_kernel(tp, pmat, wv, pwl, inv) if use_pinv
+                    else score_kernel(tp, pmat, wv, pwl))
             return jax.lax.psum(part, SITES_AXIS)
 
         # check_vma=False: pallas_call's out_shape carries no varying-axis
@@ -291,19 +384,25 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(P(None, None, SITES_AXIS), P(), P(),
-                      P(None, SITES_AXIS)),
+                      P(None, SITES_AXIS), P(None, SITES_AXIS)),
             out_specs=P(), check_vma=False)
-        return fn(tips_packed, pmatrix, wvec, pw)
+        logl = fn(tips_packed, pmatrix, wvec, pw, inv_add)
+        if asc_tail is not None:
+            logl = logl + asc_tail(model, pmatrix)
+        return logl
 
     return score
 
 
 def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
-                         tip_masks, interpret: bool = False):
+                         tip_masks, use_pinv: bool = False,
+                         interpret: bool = False):
     """Tree-search scoring for trees of any size (data-driven segmented
     kernels, O(1) compile cost) with pattern-tip storage: 0.5 byte/tip/site
     for ≤4-bit alphabets (DNA), 4 bytes for wide alphabets (protein
     20-bit ambiguity masks) — both decoded to 0/1 CLV rows in VMEM.
+    +I via the linear in-kernel fold (``use_pinv``); asc-bias
+    (topo.asc_mode) via the XLA pseudo-column side-sweep.
 
     ``tip_masks``: [tips, sites] integer ambiguity bitmasks
     (Partition._tip_masks or io.maps.encode_sequence output).
@@ -313,8 +412,8 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     from ..ops import clv_pallas as cp
     from ..ops import clv_pallas_dyn as cpd
 
-    if topo.asc_mode:
-        raise ValueError("fused score does not support asc-bias")
+    if topo.asc_mode and use_pinv:
+        raise ValueError("asc-bias and prop-invar are mutually exclusive")
     dyn = cpd.build_dyn_schedule(
         topo.schedule, rate_cats=rate_cats, states=states,
         ensure_rows=[topo.parent_clv, topo.child_clv])
@@ -327,16 +426,26 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     score_kernel = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
-        tip_encoding=enc, impl=impl, interpret=interpret)
+        tip_encoding=enc, impl=impl, use_pinv=use_pinv, interpret=interpret)
+    asc_tail = (make_asc_tail(topo, rate_cats, states)
+                if topo.asc_mode else None)
 
     def score(model):
         dtype = model["freqs_pc"].dtype
         pmatrix = _pmatrices(model, topo, dtype)
-        wvec = cp.pack_weight_vec(model["freqs_pc"],
-                                  model["rate_weights"], impl)
         pw = model["pattern_weights"].astype(dtype)[None, :]
-        return score_kernel(slabs, tables, m_gathers, exp_tables, pmatrix,
-                            wvec, pw)
+        if use_pinv:
+            wvec, inv_add = _pinv_score_inputs(model, impl, dtype)
+            logl = score_kernel(slabs, tables, m_gathers, exp_tables,
+                                pmatrix, wvec, pw, inv_add)
+        else:
+            wvec = cp.pack_weight_vec(model["freqs_pc"],
+                                      model["rate_weights"], impl)
+            logl = score_kernel(slabs, tables, m_gathers, exp_tables,
+                                pmatrix, wvec, pw)
+        if asc_tail is not None:
+            logl = logl + asc_tail(model, pmatrix)
+        return logl
 
     return score
 

@@ -303,21 +303,31 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                           scale_mode: int = SCALE_PER_SITE, *,
                           impl: str = "auto", rate_cats: int, states: int,
                           block_sites: Optional[int] = None,
+                          use_pinv: bool = False,
                           interpret: bool = False):
-    """Build ``score(tips_packed, pmatrix, weight_vec, pattern_weights)
-    -> logl`` — the tree-search scoring primitive.
+    """Build ``score(tips_packed, pmatrix, weight_vec, pattern_weights
+    [, inv_add]) -> logl`` — the tree-search scoring primitive.
 
     Runs the whole pruning sweep with inner CLVs as VMEM *scratch* (never
     written to HBM) and folds the edge log-likelihood reduction into the
     kernel: per site block the only HBM traffic is the tip stream in and one
     partial-sum scalar out, roughly halving the traffic of sweep-then-score.
 
-    Scope (callers fall back to make_forward for anything else): per-site or
-    no scaling, no proportion-of-invariant mixing, no ascertainment bias —
-    the standard GTR(+Γ) tree-search configuration.  ``weight_vec`` is
-    :func:`pack_weight_vec`; ``pattern_weights`` is [1, L] in the working
-    dtype.  Matches `pll_core_edge_loglikelihood_ii` semantics
-    (libpll `src/core_likelihood.c:727-941`) for that scope.
+    Proportion-of-invariant mixing (``use_pinv``) enters linearly, exactly
+    as the reference orders it (`src/core_likelihood.c:966-978`: per-rate
+    fold first, invariant likelihood unscaled):
+    ``Σ_c w_c[(1-p_c)·term_c + p_c·f_c[inv]] = Σ_rows(y·wvec') + inv_add``
+    with ``(1-p_c)`` folded into ``weight_vec`` by the caller and
+    ``inv_add`` a per-site [1, L] additive input.  Ascertainment bias is
+    deliberately *not* in-kernel: its S pseudo-columns cost one tiny XLA
+    side-sweep (engine/evaluate.make_asc_tail), which composes with every
+    score kernel.
+
+    Scope otherwise: per-site or no scaling — the standard GTR(+Γ[+I])
+    tree-search configuration.  ``weight_vec`` is :func:`pack_weight_vec`;
+    ``pattern_weights`` is [1, L] in the working dtype.  Matches
+    `pll_core_edge_loglikelihood_ii` semantics (libpll
+    `src/core_likelihood.c:727-941`) for that scope.
     """
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE):
         raise ValueError("fused edge score: per-site or no scaling only")
@@ -336,7 +346,9 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
     sp, sc = srow(parent_clv), srow(child_clv)
 
-    def score(tips_packed, pmatrix, weight_vec, pattern_weights):
+    def score(tips_packed, pmatrix, weight_vec, pattern_weights,
+              inv_add=None):
+        assert (inv_add is not None) == use_pinv
         _, cs_in, sites = tips_packed.shape
         assert cs_in == cs, (cs_in, cs)
         dtype = tips_packed.dtype
@@ -358,8 +370,12 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
         contract = make_contract(impl, states, rate_cats, dtype)
 
-        def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, out_ref,
-                   inner_ref, scaler_ref):
+        def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, *rest):
+            if use_pinv:
+                inv_ref, out_ref, inner_ref, scaler_ref = rest
+            else:
+                out_ref, inner_ref, scaler_ref = rest
+
             @pl.when(pl.program_id(0) == 0)
             def _():
                 out_ref[0, 0] = jnp.zeros((), dtype)
@@ -388,6 +404,8 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             termb = contract(coeff_ref, edge_matrix, child(child_clv))
             y = child(parent_clv) * termb * wvec_ref[...]
             term = jnp.sum(y, axis=0, keepdims=True)  # [1, bl]
+            if use_pinv:
+                term = term + inv_ref[...]
             snum = scaler_rows(sp) + scaler_rows(sc)
             lnl = (jnp.log(term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
@@ -401,19 +419,25 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
         z = np.int32(0)
         nd = len(coeff.shape)
+        in_specs = [
+            pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(coeff.shape, lambda j: (z,) * nd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs, 1), lambda j: (z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bl), lambda j: (z, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [tips_packed, coeff, weight_vec, pattern_weights]
+        if use_pinv:
+            in_specs.append(pl.BlockSpec((1, bl), lambda j: (z, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(inv_add)
         partials = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(coeff.shape, lambda j: (z,) * nd,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((cs, 1), lambda j: (z, z),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bl), lambda j: (z, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1), lambda j: (z, z),
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
@@ -423,7 +447,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             ],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(tips_packed, coeff, weight_vec, pattern_weights)
+        )(*args)
 
         return partials[0, 0]
 

@@ -588,6 +588,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                    edge_matrix: int, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
                    tip_encoding: str = "chars", impl: str = "auto",
+                   use_pinv: bool = False,
                    interpret: bool = False):
     """Tree-search scoring at unbounded tree size with O(1) compile cost:
     leaf segments keep all CLVs in VMEM scratch and export only the few
@@ -597,9 +598,13 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     partition scores on a single chip.
 
     Returns ``score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
-    weight_vec, pattern_weights) -> logl`` (see :func:`dyn_score_args`).
-    Same model scope as make_fused_edge_score, plus SCALE_PER_RATE with
-    the in-kernel min/cap scaler fold (`src/core_likelihood.c:916-941`).
+    weight_vec, pattern_weights[, inv_add]) -> logl`` (see
+    :func:`dyn_score_args`).  Same model scope as make_fused_edge_score —
+    including the linear prop-invar fold (``use_pinv``: caller folds
+    ``(1-p_c)`` into weight_vec and passes the [1, L] additive ``inv_add``;
+    the reference's fold-then-mix order, `src/core_likelihood.c:960-978`) —
+    plus SCALE_PER_RATE with the in-kernel min/cap scaler fold
+    (`src/core_likelihood.c:916-941`).
     """
     if scale_mode not in (SCALE_NONE, SCALE_PER_SITE, SCALE_PER_RATE):
         raise ValueError(f"unsupported scale mode {scale_mode}")
@@ -706,7 +711,11 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                     pl.ds(exp_table_ref[e, 1] * srows, srows), :]
 
     def root_kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
-                    edge_coeff_ref, wvec_ref, pw_ref, out_ref, state, scal):
+                    edge_coeff_ref, wvec_ref, pw_ref, *rest):
+        if use_pinv:
+            inv_ref, out_ref, state, scal = rest
+        else:
+            out_ref, state, scal = rest
         chunk = pl.program_id(1)
         j = pl.program_id(0)
         dtype = wvec_ref.dtype
@@ -753,6 +762,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                 term = jnp.sum(term_r, axis=0, keepdims=True)
             else:
                 term = jnp.sum(y, axis=0, keepdims=True)
+            if use_pinv:
+                term = term + inv_ref[...]
             lnl = (jnp.log(term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
             out_ref[0, 0] += jnp.sum(lnl)
@@ -802,30 +813,37 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
     @_partial(jax.jit, static_argnames=("sites",))
     def root_segment(table, tip_slab, imp, imp_scal, coeff_tiles,
-                     edge_coeff, wvec, pw, sites):
+                     edge_coeff, wvec, pw, inv_add, sites):
         dtype = wvec.dtype
         bl = block_sites
         n_blocks = sites // bl
         z = np.int32(0)
+        in_specs = [
+            _tip_blockspec(tip_encoding, r_tip, cs, bl, 1),
+            pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tiles_per_chunk, cs, lanes),
+                         lambda j, c, t: (c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cs, w), lambda j, c, t: (z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs, 1), lambda j, c, t: (z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [table, tip_slab, imp, imp_scal, coeff_tiles, edge_coeff,
+                wvec, pw]
+        if use_pinv:
+            in_specs.append(pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(inv_add)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
-            in_specs=[
-                _tip_blockspec(tip_encoding, r_tip, cs, bl, 1),
-                pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tiles_per_chunk, cs, lanes),
-                             lambda j, c, t: (c, z, z),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cs, w), lambda j, c, t: (z, z, z),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((cs, 1), lambda j, c, t: (z, z),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1), lambda j, c, t: (z, z),
                                    memory_space=pltpu.SMEM),
             scratch_shapes=[
@@ -838,10 +856,11 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
             interpret=interpret,
-        )(table, tip_slab, imp, imp_scal, coeff_tiles, edge_coeff, wvec, pw)
+        )(*args)
 
     def score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
-              weight_vec, pattern_weights):
+              weight_vec, pattern_weights, inv_add=None):
+        assert (inv_add is not None) == use_pinv
         dtype = pmatrix.dtype
         sites = tip_slabs[0].shape[-1]
         if sites % block_sites:
@@ -876,7 +895,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             if si == last:
                 out = root_segment(tables[si], tip_slabs[si], imp,
                                    imp_scal, coeff_tiles, edge_coeff,
-                                   weight_vec, pattern_weights, sites=sites)
+                                   weight_vec, pattern_weights, inv_add,
+                                   sites=sites)
                 return out[0, 0]
             exp, exp_scal = leaf_segment(tables[si], exp_tables[si],
                                          tip_slabs[si], imp, imp_scal,

@@ -163,27 +163,35 @@ def edge_loglikelihood(clv_parent, clv_child, scaler_parent, scaler_child,
     return logl, persite
 
 
-def _asc_correction(term_r, site_scal, rate_weights, pattern_weights,
-                    sites, asc_mode, dtype):
-    """Ascertainment-bias correction from the S extra "pseudo-site" columns.
-
-    Reference: likelihood.c:24-119 (root), 170-247 (edge ti), 321-414
-    (edge ii) — note *no* invariant-site mixing applies on these columns.
-    """
-    # extra columns: everything beyond `sites`
-    t = jnp.einsum("c,cn->n", rate_weights, term_r[:, sites:])  # [S]
-    scal = site_scal[sites:].astype(dtype)
-    w = pattern_weights[sites:]
-    sum_w = jnp.sum(pattern_weights[:sites])
-    sum_w_inv = jnp.sum(w)
+def asc_correction_terms(term_r_asc, scal_asc, rate_weights, asc_weights,
+                         sum_w_real, asc_mode, dtype):
+    """Ascertainment-bias correction from already-evaluated pseudo-site
+    terms: ``term_r_asc`` [C, S] per-rate likelihoods of the S all-one-state
+    columns (per-rate scalers already folded), ``scal_asc`` [S] their site
+    scaler counts, ``asc_weights`` [S] the per-state weights, ``sum_w_real``
+    the total real-site pattern weight.  No invariant-site mixing applies on
+    these columns (reference likelihood.c:24-119, 170-247, 321-414)."""
+    t = jnp.einsum("c,cn->n", rate_weights, term_r_asc)  # [S]
+    scal = scal_asc.astype(dtype)
 
     if asc_mode == ASC_STAMATAKIS:
         # weighted log-likelihood of each pseudo-site; the scaler fold-back is
         # deliberately NOT weighted, matching likelihood.c:96-101
-        return jnp.sum(jnp.log(t) * w + scal * _log_scale_threshold(dtype))
+        return jnp.sum(jnp.log(t) * asc_weights
+                       + scal * _log_scale_threshold(dtype))
     # Lewis / Felsenstein need the absolute likelihoods
-    l_base = jnp.sum(t * scale_pow(site_scal[sites:], dtype))
+    l_base = jnp.sum(t * scale_pow(scal_asc, dtype))
     if asc_mode == ASC_LEWIS:
-        return -(sum_w * jnp.log(1.0 - l_base))
+        return -(sum_w_real * jnp.log(1.0 - l_base))
     # ASC_FELSENSTEIN
-    return sum_w_inv * jnp.log(l_base)
+    return jnp.sum(asc_weights) * jnp.log(l_base)
+
+
+def _asc_correction(term_r, site_scal, rate_weights, pattern_weights,
+                    sites, asc_mode, dtype):
+    """Asc correction from the S extra "pseudo-site" columns riding the
+    site axis (everything beyond ``sites``)."""
+    return asc_correction_terms(
+        term_r[:, sites:], site_scal[sites:], rate_weights,
+        pattern_weights[sites:], jnp.sum(pattern_weights[:sites]),
+        asc_mode, dtype)
