@@ -310,8 +310,15 @@ class Partition:
     # ------------------------------------------------------------------
     # CLV updates (reference: partials.c:177-212)
     # ------------------------------------------------------------------
-    def update_partials(self, operations: Sequence[Operation]) -> None:
+    def update_partials(self, operations: Sequence[Operation],
+                        pad_to: Optional[int] = None) -> None:
+        """``pad_to``: pad the op table to a fixed capacity by repeating the
+        final op (idempotent), so incremental updates of varying size reuse
+        one compiled schedule executor (search loops; ops/incremental.py)."""
         ops = operations_to_array(operations, self.scale_buffers)
+        if pad_to is not None:
+            from ..ops.incremental import pad_op_table
+            ops = pad_op_table(ops, pad_to)
         self.clv, self.scalers = clv_ops.update_partials(
             self.clv, self.scalers, jnp.asarray(ops), self.pmatrix,
             scale_mode=self.scale_mode)

@@ -1,0 +1,248 @@
+"""Likelihood SPR search: batched incremental candidate scoring with zero
+recompiles.
+
+The round driver combines the three rebuild mechanisms into the search loop
+the reference exists to serve (reference primitives:
+`src/utree_moves.c:119-253` SPR + changed-branch collection,
+`examples/partial-traversal/partial.c:61-104` clv_valid reuse):
+
+  1. **host**: for each candidate (prune node p, regraft edge r) apply the
+     SPR, collect the 3 changed branches, compute the *minimal* dirty op
+     subset via the per-direction validity flags (read-only peek), encode
+     it into a fixed-capacity scratch-row table, and roll back — validity
+     flags restored from a snapshot of the 5 touched rings;
+  2. **device**: ONE compiled call scores the whole candidate batch
+     (`ops/incremental.make_candidate_scorer`): per candidate it refreshes
+     the 3 P-matrices, replays the op subset into scratch rows (the base
+     CLVs are never written) and reduces the edge log-likelihood.  All
+     topology is data — tables, eval rows, matrix slots — so **no retrace
+     ever happens after warmup**, the property static-shape search needs;
+  3. the best improving move is committed with the ordinary dirty-subtree
+     update (`update_partials` on the padded subset — also data-driven).
+
+Per-candidate device cost is O(dirty ops × sites), i.e. O(path length), not
+a full-tree sweep — the same asymptotics the reference's partial traversal
+gives its stepwise search, with the candidate loop batched on device
+instead of host-sequential.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import SprError
+from ..ops import incremental as inc_ops
+from ..tree import incremental as inc
+from ..tree import moves
+from ..tree import utree as ut
+from ..tree.utree import UNode, UTree
+
+
+@dataclass
+class SprResult:
+    logl0: float
+    best_logl: float
+    improved: bool
+    n_candidates: int
+    n_ops_max: int
+    best: Optional[Tuple[int, int]] = None  # (p.node_index, r.node_index)
+
+
+def _model_from_partition(part, params_indices) -> dict:
+    """Scorer model dict from a Partition's parameter state."""
+    pidx = np.asarray(params_indices, np.int32).reshape(part.rate_cats)
+    for idx in np.unique(pidx):
+        if not part.eigen_valid[idx]:
+            part.update_eigen(int(idx))
+    dtype = part.dtype
+    invariant = (np.asarray(part.invariant) if part.invariant is not None
+                 else np.full(part.sites_alloc, -1, np.int32))
+    return {
+        "rates": jnp.asarray(part.rates, dtype),
+        "prop_invar": jnp.asarray(part.prop_invar, dtype),
+        "params_indices": jnp.asarray(pidx),
+        "eigenvals": jnp.asarray(part.eigenvals, dtype),
+        "left": jnp.asarray(part.eigen_left, dtype),
+        "right": jnp.asarray(part.eigen_right, dtype),
+        "freqs_pc": jnp.asarray(part.frequencies[pidx], dtype),
+        "prop_invar_pc": jnp.asarray(part.prop_invar[pidx], dtype),
+        "rate_weights": jnp.asarray(part.rate_weights, dtype),
+        "pattern_weights": jnp.asarray(part.pattern_weights, dtype),
+        "invariant": jnp.asarray(invariant, jnp.int32),
+    }
+
+
+def spr_neighborhood(tree: UTree, radius: int = 5,
+                     prune_nodes: Optional[Sequence[UNode]] = None
+                     ) -> List[Tuple[UNode, UNode]]:
+    """All (p, r) SPR candidates with the regraft edge within ``radius``
+    edges of the pruned position (the standard SPR neighborhood; radius
+    bounds the rearrangement distance as in RAxML-style hill climbing)."""
+    out: List[Tuple[UNode, UNode]] = []
+    pruned = prune_nodes
+    if pruned is None:
+        pruned = [n for n in ut.query_innernodes(tree)]
+    for p in pruned:
+        if p.next is None:
+            continue
+        # BFS outward from the two edges adjacent to the pruned position,
+        # staying outside the pruned subtree (which hangs behind p)
+        banned = {p, p.next, p.next.next}
+        frontier = [(p.next.back, 1), (p.next.next.back, 1)]
+        seen = set()
+        while frontier:
+            node, d = frontier.pop(0)
+            if node in seen or d > radius:
+                continue
+            seen.add(node)
+            if d > 1:  # d==1 edges touch the prune point: no-op moves
+                out.append((p, node))
+            if node.next is not None and node not in banned:
+                for m in list(node.ring())[1:]:
+                    frontier.append((m.back, d + 1))
+    return out
+
+
+def spr_round(tree: UTree, part, params_indices, *,
+              radius: int = 5, capacity: Optional[int] = None,
+              batch: int = 32, min_delta: float = 1e-9,
+              candidates: Optional[List[Tuple[UNode, UNode]]] = None,
+              scorer=None) -> SprResult:
+    """Evaluate an SPR neighborhood incrementally and apply the best
+    improving move.  ``part`` is a Partition whose CLVs are assumed
+    consistent with ``tree`` *or* will be made so by the initial full
+    evaluation here.
+
+    Returns an :class:`SprResult`; on improvement the tree and partition
+    are left in the post-move state, otherwise restored exactly.
+    """
+    root = tree.root
+
+    # baseline: full evaluation + validity flags
+    trav = ut.traverse(root)
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices(params_indices, midx, blens)
+    part.update_partials(ops)
+    inc.mark_valid(trav)
+    logl0 = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, params_indices)
+
+    if candidates is None:
+        candidates = spr_neighborhood(tree, radius)
+    if not candidates:
+        return SprResult(logl0, logl0, False, 0, 0)
+
+    enc, n_ops_max = encode_candidates(tree, candidates)
+    if not enc:
+        return SprResult(logl0, logl0, False, 0, 0)
+    cap = capacity or max(8, 1 << (n_ops_max - 1).bit_length())
+    if n_ops_max > cap:
+        raise SprError(f"candidate op subset ({n_ops_max}) exceeds "
+                       f"capacity ({cap})")
+
+    if scorer is None:
+        scorer = make_round_scorer(part, cap)
+    logls = score_encoded(tree, part, params_indices, enc, cap, batch,
+                          scorer)
+    best_i = int(np.argmax(logls))
+    best_logl = float(logls[best_i])
+
+    if best_logl <= logl0 + min_delta:
+        return SprResult(logl0, logl0, False, len(enc), n_ops_max)
+
+    # commit the winning move with the ordinary dirty-subtree update
+    p, r = enc[best_i][0], enc[best_i][1]
+    changed = moves.spr(p, r)
+    part.update_prob_matrices(params_indices, [m for _, m in changed],
+                              [b for b, _ in changed])
+    dirty = inc.partial_traverse(root)
+    pops = inc.create_partial_operations(dirty)
+    part.update_partials(pops, pad_to=cap)
+    logl_new = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, params_indices)
+    return SprResult(logl0, float(logl_new), True, len(enc), n_ops_max,
+                     (p.node_index, r.node_index))
+
+
+def encode_candidates(tree: UTree, candidates):
+    """Host pass: apply/encode/rollback every candidate.  Returns
+    (enc list of (p, r, changed, ops, eval_edge), max op count); illegal/no-op
+    candidates are dropped.  Validity flags are exactly restored."""
+    root = tree.root
+    enc: List[tuple] = []
+    n_ops_max = 0
+    for (p, r) in candidates:
+        snap = inc.snapshot_flags([p, p.next.back, p.next.next.back,
+                                   r, r.back])
+        rb = moves.Rollback(moves.MOVE_SPR)
+        try:
+            changed = moves.spr(p, r, rollback=rb)
+        except SprError:
+            inc.restore_flags(snap)
+            continue
+        dirty = inc.peek_partial(root)
+        pops = inc.create_partial_operations(dirty)
+        # eval-edge description of the *moved* topology: the regraft may
+        # bisect the evaluation edge itself, relinking root.back
+        edge = (root.clv_index, root.scaler_index, root.back.clv_index,
+                root.back.scaler_index, root.pmatrix_index)
+        moves.rollback_move(rb)
+        inc.restore_flags(snap)
+        if not pops:
+            continue
+        n_ops_max = max(n_ops_max, len(pops))
+        enc.append((p, r, changed, pops, edge))
+    return enc, n_ops_max
+
+
+def score_encoded(tree: UTree, part, params_indices, enc, cap: int,
+                  batch: int, scorer) -> List[float]:
+    """Device pass: one compiled call per (padded) batch of encoded
+    candidates; returns their log-likelihoods."""
+    root = tree.root
+    N, NS = part.nodes, part.scale_buffers
+    model = _model_from_partition(part, params_indices)
+
+    tables, midxs, blenss, erows = [], [], [], []
+    for (p, r, changed, pops, edge) in enc:
+        table, row_of, scal_of = inc_ops.encode_candidate_ops(
+            pops, N, NS, cap)
+        tables.append(table)
+        midxs.append([m for _, m in changed])
+        blenss.append([b for b, _ in changed])
+
+        def scal_row(si):
+            return NS if si < 0 else scal_of.get(si, si)
+
+        p_clv, p_scal, c_clv, c_scal, e_mat = edge
+        erows.append((row_of.get(p_clv, p_clv), scal_row(p_scal),
+                      row_of.get(c_clv, c_clv), scal_row(c_scal), e_mat))
+
+    logls: List[float] = []
+    for i in range(0, len(enc), batch):
+        b = min(batch, len(enc) - i)
+        pad = batch - b  # repeat the last candidate: one compiled shape
+        t = np.stack(tables[i:i + b] + [tables[i + b - 1]] * pad)
+        mi = np.asarray(midxs[i:i + b] + [midxs[i + b - 1]] * pad, np.int32)
+        bl = np.asarray(blenss[i:i + b] + [blenss[i + b - 1]] * pad)
+        er = np.asarray(erows[i:i + b] + [erows[i + b - 1]] * pad, np.int32)
+        out = scorer(part.clv, part.scalers, part.pmatrix, model,
+                     jnp.asarray(t), jnp.asarray(mi),
+                     jnp.asarray(bl, part.dtype), jnp.asarray(er))
+        logls.extend(np.asarray(out)[:b].tolist())
+    return logls
+
+
+def make_round_scorer(part, capacity: int):
+    """Cached batched scorer for a partition envelope (N, NS, capacity,
+    sites, scale mode) — one compilation per envelope."""
+    return inc_ops.make_candidate_scorer(
+        part.nodes, part.scale_buffers, capacity,
+        sites=part.sites, scale_mode=part.scale_mode,
+        asc_mode=part.asc_mode)

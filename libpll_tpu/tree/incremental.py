@@ -99,6 +99,47 @@ def partial_traverse(root: UNode) -> List[UNode]:
     return out
 
 
+def peek_partial(root: UNode) -> List[UNode]:
+    """Like :func:`partial_traverse` but read-only: computes the minimal
+    recompute set without flipping ownership flags.  Used for *candidate*
+    evaluation in tree search, where the move will be rolled back and the
+    base buffers stay untouched."""
+    if root.is_tip:
+        raise TreeError("traversal root must be an inner node")
+    out: List[UNode] = []
+
+    def rec(u: UNode) -> bool:
+        if u.is_tip:
+            return False
+        d1 = rec(u.next.back)
+        d2 = rec(u.next.next.back)
+        if d1 or d2 or not u.clv_valid:
+            out.append(u)
+            return True
+        return False
+
+    rec(root.back)
+    rec(root)
+    return out
+
+
+def snapshot_flags(nodes: List[UNode]):
+    """Record (directed node, clv_valid) for the rings of ``nodes`` so a
+    candidate move + rollback can restore validity exactly."""
+    seen = []
+    for n in nodes:
+        if n is None:
+            continue
+        for m in ([n] if n.is_tip else n.ring()):
+            seen.append((m, m.clv_valid))
+    return seen
+
+
+def restore_flags(snapshot) -> None:
+    for node, flag in snapshot:
+        node.clv_valid = flag
+
+
 def create_partial_operations(nodes: List[UNode]):
     """Operations for a :func:`partial_traverse` subset (the op-emitting
     half of `pll_utree_create_operations`, utree.c:284-329; branch/pmatrix
