@@ -450,6 +450,81 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     return score
 
 
+def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
+                                 states: int, tip_masks, mesh,
+                                 use_pinv: bool = False,
+                                 interpret: bool = False):
+    """Multi-chip data-driven scoring: the dyn tier (pattern-tip slabs,
+    O(1) compile cost, unbounded tree size) under ``shard_map`` — each
+    device runs every segment's kernel on its local site shard (per-site
+    scaling is shard-local by construction; schedule tables, coefficient
+    tiles and P-matrices replicate) and the partial log-likelihoods meet
+    in ONE psum over ICI.  This is the 10k-taxa × 1M-site configuration of
+    BASELINE.json: nibble-packed tips sharded over the mesh.
+
+    Returns ``score(model) -> logl``; slab site length must divide
+    mesh size × the kernel's 128-site block.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import clv_pallas as cp
+    from ..ops import clv_pallas_dyn as cpd
+    from ..parallel.mesh import SITES_AXIS
+
+    if topo.asc_mode and use_pinv:
+        raise ValueError("asc-bias and prop-invar are mutually exclusive")
+    dyn = cpd.build_dyn_schedule(
+        topo.schedule, rate_cats=rate_cats, states=states,
+        ensure_rows=[topo.parent_clv, topo.child_clv])
+    masks = np.asarray(tip_masks)
+    enc = "chars" if int(masks.max()) <= 0xF else "masks"
+    impl = "vpu" if states <= 8 else "mxu"
+    slabs = tuple(cpd.pack_tipchars_dyn(masks, dyn) if enc == "chars"
+                  else cpd.pack_tipmasks_dyn(masks, dyn))
+    tables, m_gathers, exp_tables = cpd.dyn_score_args(dyn)
+    tables, m_gathers = tuple(tables), tuple(m_gathers)
+    exp_tables = tuple(exp_tables)
+    score_kernel = cpd.make_dyn_score(
+        dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
+        topo.scale_mode, rate_cats=rate_cats, states=states,
+        tip_encoding=enc, impl=impl, use_pinv=use_pinv, interpret=interpret)
+    asc_tail = (make_asc_tail(topo, rate_cats, states)
+                if topo.asc_mode else None)
+
+    shard_sites = P(None, SITES_AXIS)
+    repl = P()
+
+    def score(model):
+        dtype = model["freqs_pc"].dtype
+        pmatrix = _pmatrices(model, topo, dtype)
+        pw = model["pattern_weights"].astype(dtype)[None, :]
+        if use_pinv:
+            wvec, inv_add = _pinv_score_inputs(model, impl, dtype)
+        else:
+            wvec = cp.pack_weight_vec(model["freqs_pc"],
+                                      model["rate_weights"], impl)
+            inv_add = jnp.zeros((1, pw.shape[-1]), dtype)
+
+        def local(slabs_l, pmat, wv, pwl, inv_l):
+            part = score_kernel(list(slabs_l), tables, m_gathers,
+                                exp_tables, pmat, wv, pwl,
+                                inv_l if use_pinv else None)
+            return jax.lax.psum(part, SITES_AXIS)
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(tuple(shard_sites for _ in slabs), repl, repl,
+                      shard_sites, shard_sites),
+            out_specs=repl, check_vma=False)
+        logl = fn(slabs, pmatrix, wvec, pw, inv_add)
+        if asc_tail is not None:
+            logl = logl + asc_tail(model, pmatrix)
+        return logl
+
+    return score
+
+
 def make_train_step_fused(topo: EvalTopology, rate_cats: int, states: int,
                           impl: str = "auto", interpret: bool = False):
     """Newton branch-length optimization on the fused-Pallas path: fused

@@ -120,6 +120,25 @@ def fitch_update(vectors, costs, parent, child1, child2):
     return vectors, costs
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def fitch_run_waves(vectors, costs, tables):
+    """Execute dependency-ordered waves of Fitch updates in ONE compiled
+    call: ``tables`` int32 [n_waves, width, 3] rows of (parent, child1,
+    child2), padded by repeating ops/waves (recomputing a Fitch op is
+    idempotent — parent vector and cost are pure functions of the
+    children).  This is the schedule-as-data executor stepwise addition
+    uses so each insertion costs one device call instead of one per
+    dependency level (reference partial traversal: stepwise.c:241-323)."""
+    def wave(carry, tab):
+        vectors, costs = carry
+        vectors, costs = fitch_update(vectors, costs, tab[:, 0],
+                                      tab[:, 1], tab[:, 2])
+        return (vectors, costs), None
+
+    (vectors, costs), _ = jax.lax.scan(wave, (vectors, costs), tables)
+    return vectors, costs
+
+
 @jax.jit
 def fitch_edge_score(vectors, costs, node1, node2):
     """Parsimony score of joining node1--node2 (without const_cost)."""

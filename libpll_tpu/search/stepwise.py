@@ -8,9 +8,12 @@ score includes the uninformative-site constant cost.
 
 TPU-first redesign of the inner loop: instead of the reference's sequential
 re-scoring of every candidate edge via partial traversals (O(n) traversals
-per insertion), each insertion computes *directional* Fitch vectors for every
-edge direction in O(n) batched level kernels and then scores ALL candidate
-edges in a single device call (`fitch_insert_scores`). Supports multiple
+per insertion), directional Fitch vectors persist on device across
+insertions; committing an insertion recomputes only the directions whose
+subtree gained the new tip (BFS waves from the splice point, executed as
+one schedule-as-data call — `fitch.fitch_run_waves`), and ALL candidate
+edges are scored in a single batched call (`fitch_insert_scores`).  Two
+device calls per insertion per partition, total.  Supports multiple
 partitions by summing their per-edge score vectors before the argmin
 (reference stepwise.c:288-297).
 
@@ -49,20 +52,6 @@ def _make_star(labels, tips) -> UNode:
     return r[0]
 
 
-def _waves(pending, ready, n_dirs):
-    """Order dependent direction-computations into batched waves."""
-    ready = set(ready)
-    remaining = list(pending)
-    waves = []
-    while remaining:
-        wave = [op for op in remaining if op[1] in ready and op[2] in ready]
-        if not wave:
-            raise RuntimeError("cyclic direction dependencies (corrupt tree)")
-        waves.append(wave)
-        for op in wave:
-            ready.add(op[0])
-        remaining = [op for op in remaining if op not in wave]
-    return waves
 
 
 class StepwiseBuilder:
@@ -79,7 +68,18 @@ class StepwiseBuilder:
                 raise ValueError("partitions disagree on taxon count")
 
     def build(self, seed: int) -> Tuple[UTree, int]:
-        order = shuffled_order(self.tips, seed)
+        """Directional Fitch vectors persist across insertions in one
+        device array per partition (row per directed node, tips aliasing
+        their packed rows): committing an insertion recomputes only the 3
+        new ring directions plus the directions whose subtree gained the
+        new tip — each such direction has exactly one dirty child, so the
+        recompute set orders into BFS waves from the splice point executed
+        as ONE compiled call (`fitch.fitch_run_waves`); candidate edges are
+        then scored in one batched call.  Per insertion: 1 update call + 1
+        score call per partition, vs the reference's sequential partial
+        traversal per candidate edge (stepwise.c:241-323)."""
+        n = self.tips
+        order = shuffled_order(n, seed)
         center = _make_star(self.labels, order[:3])
         # candidate edges in the reference's enumeration order: the three
         # star edges first, then the two edges created by each insertion
@@ -88,56 +88,101 @@ class StepwiseBuilder:
         # identical to the reference.
         edge_list = [center, center.next, center.next.next]
 
+        # persistent direction rows: tips own rows 0..n-1 (their packed
+        # vectors); every inner directed node gets a fresh row from n up
+        n_rows = n + 3 * max(n - 2, 1)
+        state = []
+        for part in self.partitions:
+            vecs = jnp.zeros((n_rows,) + part.vectors.shape[1:],
+                             dtype=jnp.uint32)
+            vecs = vecs.at[:n].set(part.vectors[:n])
+            costs = jnp.zeros((n_rows,), dtype=jnp.uint32)
+            state.append((vecs, costs))
+        next_row = n
+        for m in center.ring():
+            m.data = next_row
+            next_row += 1
+
+        def row(x: UNode) -> int:
+            return x.data  # taxon index for tips, direction row for inners
+
+        def op_of(w: UNode):
+            return (row(w), row(w.next.back), row(w.next.next.back))
+
+        # fixed wave envelope: ONE compiled executor for the whole build.
+        # Waves wider than P split into consecutive rows (ops within a wave
+        # are independent, so any split preserves dependencies); rows are
+        # grouped W per call; padding repeats ops/rows (idempotent).
+        P, W = 64, 8
+
+        def run(levels):
+            nonlocal state
+            rows = []
+            for lv in levels:
+                for j in range(0, len(lv), P):
+                    chunk = lv[j:j + P]
+                    rows.append(chunk + [chunk[-1]] * (P - len(chunk)))
+            for i in range(0, len(rows), W):
+                block = rows[i:i + W]
+                block += [block[-1]] * (W - len(block))
+                tab = jnp.asarray(np.asarray(block, np.int32))
+                state = [fitch.fitch_run_waves(v, c, tab)
+                         for (v, c) in state]
+
+        # star directions: one wave of 3
+        run([[op_of(m) for m in center.ring()]])
+
         for next_tip in order[3:]:
             edges = [(u, u.back) for u in edge_list]
-            dirs = [x for u, v in edges for x in (u, v)]
-            index_of = {id(u): k for k, u in enumerate(dirs)}
-            n_dirs = len(dirs)
-
-            # topological schedule: direction u is an inner-direction whose
-            # inputs are the other two ring members' backs
-            pending = []
-            for k, u in enumerate(dirs):
-                v = u  # direction record is about the subtree at u's side
-                if u.next is None:
-                    continue
-                pending.append((k, index_of[id(u.next.back)],
-                                index_of[id(u.next.next.back)]))
+            # pad the candidate list to a power of two (repeat the last
+            # edge) so the batched scorer compiles O(log n) times total
+            n_e = len(edges)
+            cap_e = 1 << (n_e - 1).bit_length()
+            u_rows = [row(u) for u, v in edges]
+            v_rows = [row(v) for u, v in edges]
+            u_rows += [u_rows[-1]] * (cap_e - n_e)
+            v_rows += [v_rows[-1]] * (cap_e - n_e)
+            u_idx = jnp.asarray(u_rows, jnp.int32)
+            v_idx = jnp.asarray(v_rows, jnp.int32)
 
             total_scores = None
-            tip_rows = [k for k, u in enumerate(dirs) if u.next is None]
-            tip_ids = [dirs[k].data for k in tip_rows]
-            for part in self.partitions:
-                vecs = jnp.zeros((n_dirs,) + part.vectors.shape[1:],
-                                 dtype=jnp.uint32)
-                costs = jnp.zeros((n_dirs,), dtype=jnp.uint32)
-                # tips: copy packed tip vectors into their direction slots
-                vecs = vecs.at[jnp.asarray(tip_rows)].set(
-                    part.vectors[jnp.asarray(tip_ids)])
-
-                # resolve dependencies in waves of batched kernels
-                levels = _waves(pending, set(tip_rows), n_dirs)
-                for lv in levels:
-                    p = jnp.asarray([o[0] for o in lv], dtype=jnp.int32)
-                    c1 = jnp.asarray([o[1] for o in lv], dtype=jnp.int32)
-                    c2 = jnp.asarray([o[2] for o in lv], dtype=jnp.int32)
-                    vecs, costs = fitch.fitch_update(vecs, costs, p, c1, c2)
-
-                u_idx = jnp.asarray([index_of[id(u)] for u, v in edges],
-                                    dtype=jnp.int32)
-                v_idx = jnp.asarray([index_of[id(v)] for u, v in edges],
-                                    dtype=jnp.int32)
-                tipvec = part.vectors[next_tip]
-                s = fitch.fitch_insert_scores(vecs, costs, tipvec,
+            for part, (vecs, costs) in zip(self.partitions, state):
+                s = fitch.fitch_insert_scores(vecs, costs,
+                                              part.vectors[next_tip],
                                               u_idx, v_idx)
-                total_scores = s if total_scores is None else total_scores + s
+                total_scores = (s if total_scores is None
+                                else total_scores + s)
 
-            best = int(np.argmin(np.asarray(total_scores)))
+            best = int(np.argmin(np.asarray(total_scores)[:n_e]))
             u, v = edges[best]
             new_inner = self._splice(u, v, next_tip)
+            ring = list(new_inner.ring())  # r0 faces u, r1 faces v, r2 tip
+            for m in ring:
+                m.data = next_row
+                next_row += 1
             # two new candidate edges appended, matching the reference
             edge_list.append(new_inner.next)  # faces the old far endpoint
             edge_list.append(new_inner.next.next)  # faces the new tip
+
+            # dirty BFS from the new ring: each affected direction has
+            # exactly one dirty child, so BFS levels are dependency-safe
+            levels = [[op_of(m) for m in ring]]
+            frontier = list(ring)
+            seen = {id(m) for m in ring}
+            while frontier:
+                nxt = []
+                for c in frontier:
+                    cb = c.back
+                    if cb.next is None:
+                        continue
+                    for w in cb.ring():
+                        if w is not cb and id(w) not in seen:
+                            seen.add(id(w))
+                            nxt.append(w)
+                if nxt:
+                    levels.append([op_of(w) for w in nxt])
+                frontier = nxt
+            run(levels)
 
         # finalize: score the full tree via the partitions' own buffers
         tree = self._wrap(center)

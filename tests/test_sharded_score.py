@@ -36,3 +36,27 @@ def test_sharded_score_matches_forward(impl):
     score = make_score_sharded(topo, 4, 4, mesh, impl=impl, interpret=True)
     logl = jax.jit(score)(model, tp)
     np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
+
+
+def test_sharded_dyn_score_matches_forward():
+    """The data-driven (pattern-tip) scorer under shard_map: per-segment
+    nibble slabs sharded on sites, schedule tables replicated, one psum."""
+    from libpll_tpu.engine.evaluate import make_score_unbounded_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(4)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(14, rng), sites=1024)
+    t = topo.schedule.tips
+    logl_ref, _ = make_forward(topo)(model, clv, scalers)
+
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
+
+    mesh = make_sites_mesh()
+    score = make_score_unbounded_sharded(topo, 4, 4, masks, mesh,
+                                         interpret=True)
+    logl = score(model)
+    np.testing.assert_allclose(float(logl), float(logl_ref), rtol=2e-6)
