@@ -298,6 +298,24 @@ def pack_weight_vec(freqs_pc: jax.Array, rate_weights: jax.Array,
     return wf.reshape(-1, 1)
 
 
+def sum_block_partials(partials: jax.Array) -> jax.Array:
+    """Reduce per-site-block partial log-likelihood sums to the total.
+
+    In float32 the *global* site reduction is the accuracy bottleneck:
+    |logL| reaches 1e6-1e7 at flagship scale, where one f32 ulp is ~0.1-1
+    logL units, so a running f32 accumulator loses ~ulp × #blocks.  The
+    score kernels therefore emit one partial per 128-site block and this
+    fold runs at float64 when x64 is enabled (a few thousand scalar adds —
+    free even under TPU f64 emulation).  Without x64 it falls back to the
+    f32 pairwise sum (error ~log2(#blocks) ulps, the representational
+    limit of an f32 result anyway)."""
+    import jax.dtypes
+
+    if jax.config.jax_enable_x64 and partials.dtype != jnp.float64:
+        return jnp.sum(partials.astype(jnp.float64))
+    return jnp.sum(partials)
+
+
 def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                           child_clv: int, edge_matrix: int,
                           scale_mode: int = SCALE_PER_SITE, *,
@@ -376,10 +394,6 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             else:
                 out_ref, inner_ref, scaler_ref = rest
 
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                out_ref[0, 0] = jnp.zeros((), dtype)
-
             def child(idx):
                 return (tips_ref[idx] if idx < tips
                         else inner_ref[idx - tips])
@@ -409,7 +423,9 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             snum = scaler_rows(sp) + scaler_rows(sc)
             lnl = (jnp.log(term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
-            out_ref[0, 0] += jnp.sum(lnl)
+            # per-block partial sum; the f32-accuracy-critical global
+            # reduction happens outside the kernel (f64 when enabled)
+            out_ref[0, 0] = jnp.sum(lnl)
 
         try:
             compiler_params = pltpu.CompilerParams(
@@ -438,9 +454,9 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             kernel,
             grid=(n_blocks,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda j: (z, z),
+            out_specs=pl.BlockSpec((1, 1), lambda j: (j, z),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
             scratch_shapes=[
                 pltpu.VMEM((n_inner, cs, bl), dtype),
                 pltpu.VMEM((n_inner + 1, bl), jnp.int32),
@@ -449,7 +465,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             interpret=interpret,
         )(*args)
 
-        return partials[0, 0]
+        return sum_block_partials(partials[:, 0])
 
     return score
 

@@ -724,10 +724,6 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         log_scale = np.asarray(
             -scale_shift_bits(dtype) * np.log(2.0), dtype)
 
-        @pl.when((j == 0) & (chunk == 0))
-        def _():
-            out_ref[0, 0] = jnp.zeros((), dtype)
-
         @pl.when(chunk == 0)
         def _():
             decode_tips(tips_ref, state, dtype)
@@ -766,7 +762,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                 term = term + inv_ref[...]
             lnl = (jnp.log(term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
-            out_ref[0, 0] += jnp.sum(lnl)
+            # per-block partial; the global fold runs outside the kernel
+            # at f64 when enabled (see clv_pallas.sum_block_partials)
+            out_ref[0, 0] = jnp.sum(lnl)
 
     from functools import partial as _partial
 
@@ -844,7 +842,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda j, c, t: (z, z),
+            out_specs=pl.BlockSpec((1, 1), lambda j, c, t: (j, z),
                                    memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
@@ -854,7 +852,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         return pl.pallas_call(
             root_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
             interpret=interpret,
         )(*args)
 
@@ -897,7 +895,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                                    imp_scal, coeff_tiles, edge_coeff,
                                    weight_vec, pattern_weights, inv_add,
                                    sites=sites)
-                return out[0, 0]
+                from .clv_pallas import sum_block_partials
+                return sum_block_partials(out[:, 0])
             exp, exp_scal = leaf_segment(tables[si], exp_tables[si],
                                          tip_slabs[si], imp, imp_scal,
                                          coeff_tiles, sites=sites)

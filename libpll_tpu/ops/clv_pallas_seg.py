@@ -514,10 +514,6 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                 def kernel(tips_ref, imp_ref, imp_scal_ref, coeff_ref,
                            wvec_ref, pw_ref, out_ref, loc_ref, scal_ref,
                            rops=rops, edge_m=edge_m):
-                    @pl.when(pl.program_id(0) == 0)
-                    def _():
-                        out_ref[0, 0] = jnp.zeros((), dtype)
-
                     _segment_kernel_body(rops, contract, scale_mode, thresh,
                                          factor, bl, tips_ref, imp_ref,
                                          imp_scal_ref, coeff_ref, loc_ref,
@@ -549,7 +545,9 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                         term = jnp.sum(y, axis=0, keepdims=True)
                     lnl = (jnp.log(term)
                            + snum.astype(dtype) * log_scale) * pw_ref[...]
-                    out_ref[0, 0] += jnp.sum(lnl)
+                    # per-block partial; global fold outside the kernel at
+                    # f64 when enabled (clv_pallas.sum_block_partials)
+                    out_ref[0, 0] = jnp.sum(lnl)
 
                 result = pl.pallas_call(
                     kernel,
@@ -568,9 +566,9 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                         pl.BlockSpec((1, bl), lambda j: (z, j),
                                      memory_space=pltpu.VMEM),
                     ],
-                    out_specs=pl.BlockSpec((1, 1), lambda j: (z, z),
+                    out_specs=pl.BlockSpec((1, 1), lambda j: (j, z),
                                            memory_space=pltpu.SMEM),
-                    out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+                    out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
                     scratch_shapes=[
                         pltpu.VMEM((k, cs, bl), dtype),
                         pltpu.VMEM((k * srows, bl), jnp.int32),
@@ -629,7 +627,8 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
             seg_exp.append(exp)
             seg_exp_scal.append(exp_scal)
 
-        return result[0, 0]
+        from .clv_pallas import sum_block_partials
+        return sum_block_partials(result[:, 0])
 
     return score
 

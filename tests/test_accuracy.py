@@ -1,0 +1,80 @@
+"""f32 fast-path accuracy budget (BASELINE.md "accuracy" contract).
+
+The headline perf numbers run float32 with 2**64-unit scaling counters
+while the parity contract is float64; these tests pin the relationship:
+|logL_f32 − logL_f64| must stay within the stated budget
+
+    |Δ| ≤ ACC_REL · |logL_f64| + ACC_ABS
+
+on representative configurations including a deep (caterpillar) tree with
+active scaling.  The budget holds because (a) per-site f32 rounding is a
+random walk over sites, (b) the per-block partial-sum outputs + f64 final
+fold remove the accumulator ulp loss that dominates at large |logL|
+(ops/clv_pallas.sum_block_partials)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libpll_tpu.engine import evaluate as ev
+from libpll_tpu.ops import clv_pallas as cp
+
+from test_clv_pallas import _caterpillar_newick, _random_tree_newick
+from test_clv_pallas_seg import _build
+
+# the published budget (also asserted at TPU scale by scripts/bench_accuracy)
+ACC_REL = 2e-6
+ACC_ABS = 5e-3
+
+
+def _f64_model(model):
+    out = {}
+    for k, v in model.items():
+        if v.dtype == jnp.float32:
+            out[k] = v.astype(jnp.float64)
+        else:
+            out[k] = v
+    return out
+
+
+@pytest.mark.parametrize("newick_fn,tips,sites", [
+    (_random_tree_newick, 24, 2048),
+    (_caterpillar_newick, 48, 512),   # deep chain: scaling events in f32
+])
+def test_f32_score_accuracy_budget(newick_fn, tips, sites):
+    rng = np.random.default_rng(tips)
+    newick = (newick_fn(tips, rng) if newick_fn is _random_tree_newick
+              else newick_fn(tips))
+    topo, model, pmatrix, clv, scalers = _build(newick, sites=sites)
+    t = topo.schedule.tips
+
+    # float64 truth on the XLA path (oracle-parity-verified semantics)
+    fwd = ev.make_forward(topo)
+    want, _ = fwd(_f64_model(model), clv.astype(jnp.float64), scalers)
+    want = float(want)
+
+    # float32 fused score kernel (interpret mode on CPU)
+    score = ev.make_score(topo, 4, 4, impl="vpu", interpret=True)
+    got = float(score(model, cp.pack_tips(clv[:t], "vpu")))
+
+    budget = ACC_REL * abs(want) + ACC_ABS
+    assert abs(got - want) <= budget, (got, want, budget)
+
+    # float32 dyn (pattern-tip) scorer
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
+    score_u = ev.make_score_unbounded(topo, 4, 4, masks, interpret=True)
+    got_u = float(score_u(model))
+    assert abs(got_u - want) <= budget, (got_u, want, budget)
+
+
+def test_block_partial_fold_is_f64_under_x64():
+    """The global site fold must run in f64 when x64 is enabled — the
+    f32-accumulator ulp loss would otherwise dominate at |logL| ~ 1e7."""
+    parts = jnp.full((4096,), np.float32(-2441.406))  # |sum| ~ 1e7
+    total = cp.sum_block_partials(parts)
+    assert total.dtype == jnp.float64
+    np.testing.assert_allclose(float(total), 4096 * float(parts[0]),
+                               rtol=1e-12)
