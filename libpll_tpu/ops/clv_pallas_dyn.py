@@ -584,11 +584,60 @@ def _all_imports(dyn):
             yield imp
 
 
+def dyn_identity_tips(dyn: DynSchedule) -> DynSchedule:
+    """Remap a SINGLE-segment schedule's tip references from first-touch
+    slab positions to global tip ids, so the packed tip slab becomes
+    topology-independent: after an SPR only the (data) tables change and
+    the already-compiled kernels re-run with zero retraces — the dyn
+    tier's schedule-as-data property applied to full re-scores (fits trees
+    whose whole state slab fits VMEM; larger trees use the incremental
+    scorer in ops/incremental.py instead)."""
+    if len(dyn.segments) != 1:
+        raise ValueError("identity tip remap requires a single segment")
+    s = dyn.segments[0]
+    if len(s.tip_globals) != dyn.tips or dyn.r_tip != dyn.tips:
+        raise ValueError("single segment must reference every tip")
+    remap = np.asarray(s.tip_globals, np.int64)
+    table = s.table.copy()
+    for col in (1, 2):
+        is_tip = table[:, col] < dyn.r_tip
+        table[is_tip, col] = remap[table[is_tip, col]]
+    seg = DynSegment(table, s.m_ops, np.arange(dyn.tips, dtype=np.int64),
+                     s.imports, s.n_local)
+    return DynSchedule((seg,), dyn.tips, dyn.n_inner, dyn.r_tip, dyn.r_imp,
+                       dyn.r_loc, dyn.n_chunks, dyn.chunk, dyn.seg_offsets,
+                       dyn.loc_of)
+
+
+def dyn_eval_locs(dyn: DynSchedule, parent_lm: int, child_lm: int,
+                  scale_mode: int = SCALE_PER_SITE) -> np.ndarray:
+    """(p_state, c_state, p_scal, c_scal) int32 for make_dyn_score's
+    ``dynamic_edge`` mode — the evaluation-edge location *as data*.
+    Tip references assume the identity remap of :func:`dyn_identity_tips`."""
+    # scal indices are in node units; the kernel applies its srows factor
+    loc0 = dyn.r_tip + dyn.r_imp
+    sloc0 = dyn.r_imp
+    n_scal = sloc0 + dyn.r_loc + 2
+    last = len(dyn.segments) - 1
+
+    def locate(lm):
+        if lm < dyn.tips:
+            return lm, n_scal - 2  # identity tip row; dummy (zero) scaler
+        sseg, sloc = dyn.loc_of[lm - dyn.tips]
+        if sseg != last:
+            raise ValueError("eval row must live in the final segment")
+        return loc0 + sloc, sloc0 + sloc
+
+    p_state, p_scal = locate(parent_lm)
+    c_state, c_scal = locate(child_lm)
+    return np.asarray([p_state, c_state, p_scal, c_scal], np.int32)
+
+
 def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                    edge_matrix: int, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
                    tip_encoding: str = "chars", impl: str = "auto",
-                   use_pinv: bool = False,
+                   use_pinv: bool = False, dynamic_edge: bool = False,
                    interpret: bool = False):
     """Tree-search scoring at unbounded tree size with O(1) compile cost:
     leaf segments keep all CLVs in VMEM scratch and export only the few
@@ -647,8 +696,13 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             return loc0 + sloc, sloc0 + sloc
         pos = exp_pos[(sseg, sloc)]
         return r_tip + pos, pos  # import rows
-    p_state, p_scal = locate(parent_lm, "parent")
-    c_state, c_scal = locate(child_lm, "child")
+    if dynamic_edge:
+        # eval rows arrive as scalar-prefetched DATA (dyn_eval_locs);
+        # topology moves swap tables without retracing anything
+        p_state = p_scal = c_state = c_scal = None
+    else:
+        p_state, p_scal = locate(parent_lm, "parent")
+        c_state, c_scal = locate(child_lm, "child")
 
     decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states,
                                     impl)
@@ -710,8 +764,15 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                 exp_scal_ref[e * srows:(e + 1) * srows, :] = scal[
                     pl.ds(exp_table_ref[e, 1] * srows, srows), :]
 
-    def root_kernel(table_ref, tips_ref, imp_ref, imp_scal_ref, coeff_ref,
-                    edge_coeff_ref, wvec_ref, pw_ref, *rest):
+    def root_kernel(table_ref, *rest):
+        if dynamic_edge:
+            eval_ref, *rest = rest
+            ps, cs_, psc, csc = (eval_ref[i] for i in range(4))
+        else:
+            ps, cs_, psc, csc = p_state, c_state, p_scal, c_scal
+        (tips_ref, imp_ref, imp_scal_ref, coeff_ref, edge_coeff_ref,
+         wvec_ref, pw_ref) = rest[:7]
+        rest = rest[7:]
         if use_pinv:
             inv_ref, out_ref, state, scal = rest
         else:
@@ -737,7 +798,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
         @pl.when(chunk == n_chunks - 1)
         def _():
-            child_row = state[c_state]
+            child_row = state[cs_]
             # edge contraction with the edge matrix in its own [cs, w] tile
             if impl == "mxu":
                 termb = jnp.dot(edge_coeff_ref[0], child_row,
@@ -748,9 +809,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                     shift = np.int32((cs - d * rate_cats) % cs)
                     termb = termb + (edge_coeff_ref[0, :, d:d + 1]
                                      * pltpu.roll(child_row, shift, 0))
-            y = state[p_state] * termb * wvec_ref[...]
-            snum = (scal[pl.ds(p_scal * srows, srows), :]
-                    + scal[pl.ds(c_scal * srows, srows), :])
+            y = state[ps] * termb * wvec_ref[...]
+            snum = (scal[pl.ds(psc * srows, srows), :]
+                    + scal[pl.ds(csc * srows, srows), :])
             if per_rate:
                 term_r = rate_sum(y)  # [C, bl]
                 term_r, snum = fold_rate_scalers_inkernel(
@@ -809,40 +870,51 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             interpret=interpret,
         )(table, exp_table, tip_slab, imp, imp_scal, coeff_tiles)
 
+    n_pref_root = 2 if dynamic_edge else 1
+
+    def _rmap(f):
+        """Index map with the arity the root grid spec needs (grid indices
+        plus one arg per scalar-prefetch operand)."""
+        if n_pref_root == 1:
+            return lambda j, c, t: f(j, c)
+        return lambda j, c, t, e: f(j, c)
+
     @_partial(jax.jit, static_argnames=("sites",))
-    def root_segment(table, tip_slab, imp, imp_scal, coeff_tiles,
+    def root_segment(table, eval_locs, tip_slab, imp, imp_scal, coeff_tiles,
                      edge_coeff, wvec, pw, inv_add, sites):
         dtype = wvec.dtype
         bl = block_sites
         n_blocks = sites // bl
         z = np.int32(0)
         in_specs = [
-            _tip_blockspec(tip_encoding, r_tip, cs, bl, 1),
-            pl.BlockSpec((r_imp, cs, bl), lambda j, c, t: (z, z, j),
+            _tip_blockspec(tip_encoding, r_tip, cs, bl, n_pref_root),
+            pl.BlockSpec((r_imp, cs, bl), _rmap(lambda j, c: (z, z, j)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_imp * srows, bl), lambda j, c, t: (z, j),
+            pl.BlockSpec((r_imp * srows, bl), _rmap(lambda j, c: (z, j)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tiles_per_chunk, cs, lanes),
-                         lambda j, c, t: (c, z, z),
+                         _rmap(lambda j, c: (c, z, z)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cs, w), lambda j, c, t: (z, z, z),
+            pl.BlockSpec((1, cs, w), _rmap(lambda j, c: (z, z, z)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cs, 1), lambda j, c, t: (z, z),
+            pl.BlockSpec((cs, 1), _rmap(lambda j, c: (z, z)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
+            pl.BlockSpec((1, bl), _rmap(lambda j, c: (z, j)),
                          memory_space=pltpu.VMEM),
         ]
-        args = [table, tip_slab, imp, imp_scal, coeff_tiles, edge_coeff,
-                wvec, pw]
+        pref = [table] + ([eval_locs] if dynamic_edge else [])
+        args = pref + [tip_slab, imp, imp_scal, coeff_tiles, edge_coeff,
+                       wvec, pw]
         if use_pinv:
-            in_specs.append(pl.BlockSpec((1, bl), lambda j, c, t: (z, j),
+            in_specs.append(pl.BlockSpec((1, bl),
+                                         _rmap(lambda j, c: (z, j)),
                                          memory_space=pltpu.VMEM))
             args.append(inv_add)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_pref_root,
             grid=(n_blocks, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda j, c, t: (j, z),
+            out_specs=pl.BlockSpec((1, 1), _rmap(lambda j, c: (j, z)),
                                    memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
@@ -857,15 +929,18 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         )(*args)
 
     def score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
-              weight_vec, pattern_weights, inv_add=None):
+              weight_vec, pattern_weights, inv_add=None, eval_locs=None,
+              edge_matrix_idx=None):
         assert (inv_add is not None) == use_pinv
+        assert (eval_locs is not None) == dynamic_edge
         dtype = pmatrix.dtype
         sites = tip_slabs[0].shape[-1]
         if sites % block_sites:
             raise ValueError(f"sites must divide {block_sites}")
         coeff = (roll_coeff_pmatrices(pmatrix) if impl == "vpu"
                  else block_diag_pmatrices(pmatrix))
-        edge_coeff = coeff[edge_matrix][None]  # [1, cs, w]
+        em = edge_matrix if edge_matrix_idx is None else edge_matrix_idx
+        edge_coeff = coeff[em][None]  # [1, cs, w]
 
         seg_exp, seg_exp_scal = [], []
         for si, s in enumerate(dyn.segments):
@@ -891,8 +966,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                 imp = jnp.zeros((r_imp, cs, sites), dtype)
                 imp_scal = jnp.zeros((r_imp * srows, sites), jnp.int32)
             if si == last:
-                out = root_segment(tables[si], tip_slabs[si], imp,
-                                   imp_scal, coeff_tiles, edge_coeff,
+                out = root_segment(tables[si], eval_locs, tip_slabs[si],
+                                   imp, imp_scal, coeff_tiles, edge_coeff,
                                    weight_vec, pattern_weights, inv_add,
                                    sites=sites)
                 from .clv_pallas import sum_block_partials
@@ -903,6 +978,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             seg_exp.append(exp)
             seg_exp_scal.append(exp_scal)
 
+    score._root_segment = root_segment
+    score._leaf_segment = leaf_segment
     return score
 
 
