@@ -287,13 +287,16 @@ def _pinv_score_inputs(model, impl, dtype):
 
 def make_score(topo: EvalTopology, rate_cats: int, states: int,
                impl: str = "auto", use_pinv: bool = False,
-               interpret: bool = False):
+               tip_encoding: str = "clv", interpret: bool = False):
     """Tree-search scoring fast path: P-matrices → fused in-VMEM sweep with
     the edge log-likelihood folded into the kernel (inner CLVs never touch
     HBM).  Scope: per-site/no scaling; +I via the linear in-kernel fold
     (``use_pinv``); asc-bias (topo.asc_mode) via the XLA pseudo-column
     side-sweep (:func:`make_asc_tail`) — the full GTR(+Γ)(+I / +asc)
-    search configuration.
+    search configuration.  ``tip_encoding="chars"``: ``tips_packed`` is
+    :func:`~libpll_tpu.ops.clv_pallas.pack_tipchars` nibble words decoded
+    in VMEM (0.5 byte/tip/site — cuts the kernel's only HBM stream 64×
+    for DNA).
 
     Returns ``score(model, tips_packed) -> logl``.
     """
@@ -304,14 +307,15 @@ def make_score(topo: EvalTopology, rate_cats: int, states: int,
     score_kernel = cp.make_fused_edge_score(
         topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
-        use_pinv=use_pinv, interpret=interpret)
+        use_pinv=use_pinv, tip_encoding=tip_encoding, interpret=interpret)
     asc_tail = (make_asc_tail(topo, rate_cats, states)
                 if topo.asc_mode else None)
     if impl == "auto":
         impl = "vpu" if states <= 8 else "mxu"
 
     def score(model, tips_packed):
-        dtype = tips_packed.dtype
+        dtype = (model["freqs_pc"].dtype if tip_encoding == "chars"
+                 else tips_packed.dtype)
         pmatrix = _pmatrices(model, topo, dtype)
         pw = model["pattern_weights"].astype(dtype)[None, :]
         if use_pinv:

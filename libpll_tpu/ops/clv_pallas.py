@@ -316,12 +316,31 @@ def sum_block_partials(partials: jax.Array) -> jax.Array:
     return jnp.sum(partials)
 
 
+def pack_tipchars(tip_masks) -> jax.Array:
+    """[tips, L] 4-bit ambiguity codes -> nibble-packed [ceil(tips/8), L]
+    int32 words (word row g holds tips 8g..8g+7) for the fused score's
+    tip_encoding="chars" mode — 0.5 byte/tip/site, the reference's
+    PLL_ATTRIB_PATTERN_TIP storage (src/pll.c:825-903) decoded in VMEM."""
+    masks = np.asarray(tip_masks, dtype=np.uint32)
+    if masks.max() > 0xF:
+        raise ValueError("tipchars mode supports 4-bit codes (states<=4)")
+    tips, sites = masks.shape
+    words = -(-tips // 8)
+    slab = np.zeros((words * 8, sites), np.uint32)
+    slab[:tips] = masks
+    packed = np.zeros((words, sites), np.uint32)
+    for k in range(8):
+        packed |= slab[k::8][:words] << np.uint32(4 * k)
+    return jnp.asarray(packed.astype(np.int32))
+
+
 def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                           child_clv: int, edge_matrix: int,
                           scale_mode: int = SCALE_PER_SITE, *,
                           impl: str = "auto", rate_cats: int, states: int,
                           block_sites: Optional[int] = None,
                           use_pinv: bool = False,
+                          tip_encoding: str = "clv",
                           interpret: bool = False):
     """Build ``score(tips_packed, pmatrix, weight_vec, pattern_weights
     [, inv_add]) -> logl`` — the tree-search scoring primitive.
@@ -364,19 +383,30 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
     sp, sc = srow(parent_clv), srow(child_clv)
 
+    chars = tip_encoding == "chars"
+    if tip_encoding not in ("clv", "chars"):
+        raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+
     def score(tips_packed, pmatrix, weight_vec, pattern_weights,
               inv_add=None):
         assert (inv_add is not None) == use_pinv
-        _, cs_in, sites = tips_packed.shape
-        assert cs_in == cs, (cs_in, cs)
-        dtype = tips_packed.dtype
+        if chars:
+            words, sites = tips_packed.shape
+            dtype = pmatrix.dtype
+            # nibble slab footprint ~ words rows of int32 vs tips*cs rows
+            tip_rows_eq = max(1, -(-words // cs))
+        else:
+            _, cs_in, sites = tips_packed.shape
+            assert cs_in == cs, (cs_in, cs)
+            dtype = tips_packed.dtype
+            tip_rows_eq = tips
         thresh, factor = _scale_consts(dtype)
         itemsize = np.dtype(dtype).itemsize
         log_scale = np.asarray(
             -scale_shift_bits(dtype) * np.log(2.0), dtype)
 
         bl = block_sites or _pick_block_sites(
-            tips + n_inner, cs, sites, itemsize, n_inner + 1)
+            tip_rows_eq + n_inner, cs, sites, itemsize, n_inner + 1)
         if bl is None or sites % bl != 0:
             raise ValueError("no viable site block; use the XLA path")
 
@@ -394,9 +424,28 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             else:
                 out_ref, inner_ref, scaler_ref = rest
 
+            def tipdecode(idx):
+                # in-VMEM pattern-tip decode: 4-bit code -> 0/1 CLV rows
+                # (scalar shifts only; reference set_tipclv bit walk,
+                # pll.c:925-931)
+                word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
+                code = jnp.right_shift(word, np.int32(4 * (idx % 8))) & 0xF
+                if impl == "vpu":  # state-major rows s*C + c
+                    return jnp.concatenate(
+                        [jnp.broadcast_to(
+                            jnp.right_shift(code, np.int32(s)) & 1,
+                            (rate_cats, bl)) for s in range(states)],
+                        axis=0).astype(dtype)
+                block = jnp.concatenate(
+                    [jnp.right_shift(code, np.int32(s)) & 1
+                     for s in range(states)], axis=0)
+                return jnp.concatenate([block] * rate_cats,
+                                       axis=0).astype(dtype)
+
             def child(idx):
-                return (tips_ref[idx] if idx < tips
-                        else inner_ref[idx - tips])
+                if idx >= tips:
+                    return inner_ref[idx - tips]
+                return tipdecode(idx) if chars else tips_ref[idx]
 
             def scaler_rows(row):
                 if row == dummy:
@@ -425,7 +474,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
             # per-block partial sum; the f32-accuracy-critical global
             # reduction happens outside the kernel (f64 when enabled)
-            out_ref[0, 0] = jnp.sum(lnl)
+            out_ref[0, pl.program_id(0)] = jnp.sum(lnl)
 
         try:
             compiler_params = pltpu.CompilerParams(
@@ -435,9 +484,13 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
         z = np.int32(0)
         nd = len(coeff.shape)
+        tip_spec = (pl.BlockSpec((tips_packed.shape[0], bl),
+                                 lambda j: (z, j), memory_space=pltpu.VMEM)
+                    if chars else
+                    pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
+                                 memory_space=pltpu.VMEM))
         in_specs = [
-            pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
-                         memory_space=pltpu.VMEM),
+            tip_spec,
             pl.BlockSpec(coeff.shape, lambda j: (z,) * nd,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cs, 1), lambda j: (z, z),
@@ -454,9 +507,9 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             kernel,
             grid=(n_blocks,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda j: (j, z),
+            out_specs=pl.BlockSpec((1, n_blocks), lambda j: (z, z),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((1, n_blocks), dtype),
             scratch_shapes=[
                 pltpu.VMEM((n_inner, cs, bl), dtype),
                 pltpu.VMEM((n_inner + 1, bl), jnp.int32),
@@ -465,7 +518,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             interpret=interpret,
         )(*args)
 
-        return sum_block_partials(partials[:, 0])
+        return sum_block_partials(partials[0, :])
 
     return score
 

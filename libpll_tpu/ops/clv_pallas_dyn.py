@@ -694,7 +694,9 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         sseg, sloc = dyn.loc_of[lm - dyn.tips]
         if sseg == last:
             return loc0 + sloc, sloc0 + sloc
-        pos = exp_pos[(sseg, sloc)]
+        # position in the ROOT segment's import list (NOT the exporter's
+        # export-table position — those coincide only in chain topologies)
+        pos = list(fin.imports).index((sseg, sloc))
         return r_tip + pos, pos  # import rows
     if dynamic_edge:
         # eval rows arrive as scalar-prefetched DATA (dyn_eval_locs);
@@ -825,7 +827,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
             # per-block partial; the global fold runs outside the kernel
             # at f64 when enabled (see clv_pallas.sum_block_partials)
-            out_ref[0, 0] = jnp.sum(lnl)
+            out_ref[0, j] = jnp.sum(lnl)
 
     from functools import partial as _partial
 
@@ -914,7 +916,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             num_scalar_prefetch=n_pref_root,
             grid=(n_blocks, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), _rmap(lambda j, c: (j, z)),
+            out_specs=pl.BlockSpec((1, n_blocks),
+                                   _rmap(lambda j, c: (z, z)),
                                    memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((n_state, cs, bl), dtype),
@@ -924,7 +927,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         return pl.pallas_call(
             root_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((1, n_blocks), dtype),
             interpret=interpret,
         )(*args)
 
@@ -971,7 +974,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                                    weight_vec, pattern_weights, inv_add,
                                    sites=sites)
                 from .clv_pallas import sum_block_partials
-                return sum_block_partials(out[:, 0])
+                return sum_block_partials(out[0, :])
             exp, exp_scal = leaf_segment(tables[si], exp_tables[si],
                                          tip_slabs[si], imp, imp_scal,
                                          coeff_tiles, sites=sites)

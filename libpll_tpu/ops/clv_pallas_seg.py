@@ -547,7 +547,7 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                            + snum.astype(dtype) * log_scale) * pw_ref[...]
                     # per-block partial; global fold outside the kernel at
                     # f64 when enabled (clv_pallas.sum_block_partials)
-                    out_ref[0, 0] = jnp.sum(lnl)
+                    out_ref[0, pl.program_id(0)] = jnp.sum(lnl)
 
                 result = pl.pallas_call(
                     kernel,
@@ -566,9 +566,9 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
                         pl.BlockSpec((1, bl), lambda j: (z, j),
                                      memory_space=pltpu.VMEM),
                     ],
-                    out_specs=pl.BlockSpec((1, 1), lambda j: (j, z),
+                    out_specs=pl.BlockSpec((1, n_blocks), lambda j: (z, z),
                                            memory_space=pltpu.SMEM),
-                    out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
+                    out_shape=jax.ShapeDtypeStruct((1, n_blocks), dtype),
                     scratch_shapes=[
                         pltpu.VMEM((k, cs, bl), dtype),
                         pltpu.VMEM((k * srows, bl), jnp.int32),
@@ -628,7 +628,7 @@ def make_segmented_score(seg: SegmentedSchedule, parent_lm: int,
             seg_exp_scal.append(exp_scal)
 
         from .clv_pallas import sum_block_partials
-        return sum_block_partials(result[:, 0])
+        return sum_block_partials(result[0, :])
 
     return score
 

@@ -52,17 +52,24 @@ def run(name, newick_fn, tips, sites):
     rng = np.random.default_rng(tips)
     newick = (newick_fn(tips, rng) if newick_fn is _random_tree_newick
               else newick_fn(tips))
-    topo, model, pmatrix, clv, scalers = _build(newick, sites=sites)
-    t = topo.schedule.tips
-
-    model64 = {k: (v.astype(jnp.float64) if v.dtype == jnp.float32 else v)
-               for k, v in model.items()}
-    fwd = jax.jit(ev.make_forward(topo))
-    want = float(fwd(model64, clv.astype(jnp.float64), scalers)[0])
+    # float64 truth on the host CPU backend (f64 CLVs at these scales
+    # exceed one chip's HBM; the XLA path is identical either way)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        topo, model, pmatrix, clv, scalers = _build(newick, sites=sites)
+        t = topo.schedule.tips
+        model64 = {k: (v.astype(jnp.float64) if v.dtype == jnp.float32
+                       else v) for k, v in model.items()}
+        fwd = jax.jit(ev.make_forward(topo))
+        want = float(fwd(model64, clv.astype(jnp.float64), scalers)[0])
 
     clv_np = np.asarray(clv[:t])
     masks = ((clv_np[:, 0] > 0).astype(np.uint32)
              << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
+    if not CPU:
+        dev = jax.devices()[0]
+        model = {k: jax.device_put(np.asarray(v), dev)
+                 for k, v in model.items()}
     score = ev.make_score_unbounded(topo, 4, 4, masks, interpret=CPU)
     got = float(score(model))
 

@@ -289,3 +289,36 @@ def test_dyn_sweep_masks_matches_chars():
         out[enc] = sweep(pack(masks, dyn), tables, m_g, pmatrix)
     assert jnp.array_equal(out["chars"][0], out["masks"][0])
     assert jnp.array_equal(out["chars"][1], out["masks"][1])
+
+
+def test_dyn_score_branchy_multisegment_scaling():
+    """Regression: on branchy (non-chain) multi-segment trees the root
+    segment's import positions differ from the exporters' export-table
+    positions; locate() must use the IMPORT order.  A 160-taxon random
+    tree with 11 segments and active f32 scaling catches it (the bug made
+    the evaluation edge read the wrong import row: logL off by ~3.5k)."""
+    from libpll_tpu.engine.evaluate import make_forward
+
+    rng = np.random.default_rng(1024)
+    from test_clv_pallas_seg import _random_tree_newick as rtn
+    topo, model, pmatrix, clv, scalers = _build(rtn(160, rng), sites=128)
+    t = topo.schedule.tips
+    want, _ = make_forward(topo)(model, clv, scalers)
+    dyn = cpd.build_dyn_schedule(topo.schedule, rate_cats=4, states=4,
+                                 max_rows=40, chunk=16,
+                                 ensure_rows=[topo.parent_clv,
+                                              topo.child_clv])
+    assert len(dyn.segments) >= 8 and dyn.r_imp >= 2
+    tables, m_g, exp_t = cpd.dyn_score_args(dyn)
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
+    slabs = cpd.pack_tipchars_dyn(masks, dyn)
+    score = cpd.make_dyn_score(dyn, topo.parent_clv, topo.child_clv,
+                               topo.edge_matrix, SCALE_PER_SITE,
+                               rate_cats=4, states=4, interpret=True)
+    wvec = cp.pack_weight_vec(model["freqs_pc"], model["rate_weights"],
+                              "vpu")
+    pw = model["pattern_weights"][None, :].astype(jnp.float32)
+    got = float(score(slabs, tables, m_g, exp_t, pmatrix, wvec, pw))
+    np.testing.assert_allclose(got, float(want), rtol=2e-6)
