@@ -54,7 +54,9 @@ def _newton_edge(sumtable, t0, rates, prop_invar_pc, evals_pc, freqs_pc,
             sumtable, t, rates, prop_invar_pc, evals_pc, freqs_pc,
             rate_weights, invariant, pattern_weights, sp_site, sc_site,
             sites=sites, asc_mode=0)
-        step = jnp.where(d2 != 0.0, d1 / d2, d1)
+        # |d2| keeps the step downhill for -lnL outside the convex basin
+        # (d2 <= 0), where the raw Newton step walks uphill
+        step = jnp.where(d2 != 0.0, d1 / jnp.abs(d2), d1)
         t_new = jnp.clip(t - step, MIN_BL, MAX_BL)
         return (t_new, d1, it + 1)
 
@@ -132,16 +134,25 @@ def optimize_branch_lengths(tree, part, params_indices, *,
             if not np.isfinite(t_star):
                 continue
             old = u.length
-            # safeguarded acceptance: keep the step only if logL does not drop
-            part.update_prob_matrices(pidx, [u.pmatrix_index], [t_star])
-            new_logl = _edge_logl(part, u, pidx)
-            if new_logl + 1e-12 < logl:
+            # safeguarded acceptance with backtracking: keep the best
+            # non-worsening candidate on the segment [old, t*]
+            accepted = None
+            cand = t_star
+            for _ in range(4):
+                part.update_prob_matrices(pidx, [u.pmatrix_index], [cand])
+                new_logl = _edge_logl(part, u, pidx)
+                if new_logl + 1e-12 >= logl:
+                    accepted = (cand, new_logl)
+                    break
+                cand = 0.5 * (cand + old)
+            if accepted is None:
                 part.update_prob_matrices(pidx, [u.pmatrix_index], [old])
                 continue
-            u.length = u.back.length = t_star
+            t_acc, new_logl = accepted
+            u.length = u.back.length = t_acc
             inc.invalidate_edge(u)
             logl = new_logl
-            max_delta = max(max_delta, abs(t_star - old))
+            max_delta = max(max_delta, abs(t_acc - old))
         if max_delta < tol:
             break
 
