@@ -314,8 +314,8 @@ def make_score(topo: EvalTopology, rate_cats: int, states: int,
         impl = "vpu" if states <= 8 else "mxu"
 
     def score(model, tips_packed):
-        dtype = (model["freqs_pc"].dtype if tip_encoding == "chars"
-                 else tips_packed.dtype)
+        dtype = (model["freqs_pc"].dtype if tip_encoding in
+                 ("chars", "masks") else tips_packed.dtype)
         pmatrix = _pmatrices(model, topo, dtype)
         pw = model["pattern_weights"].astype(dtype)[None, :]
         if use_pinv:

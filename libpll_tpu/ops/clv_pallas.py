@@ -384,7 +384,8 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
     sp, sc = srow(parent_clv), srow(child_clv)
 
     chars = tip_encoding == "chars"
-    if tip_encoding not in ("clv", "chars"):
+    bitmasks = tip_encoding == "masks"
+    if tip_encoding not in ("clv", "chars", "masks"):
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
 
     def score(tips_packed, pmatrix, weight_vec, pattern_weights,
@@ -395,6 +396,10 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             dtype = pmatrix.dtype
             # nibble slab footprint ~ words rows of int32 vs tips*cs rows
             tip_rows_eq = max(1, -(-words // cs))
+        elif bitmasks:
+            _, sites = tips_packed.shape
+            dtype = pmatrix.dtype
+            tip_rows_eq = max(1, -(-tips // cs))
         else:
             _, cs_in, sites = tips_packed.shape
             assert cs_in == cs, (cs_in, cs)
@@ -425,11 +430,15 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                 out_ref, inner_ref, scaler_ref = rest
 
             def tipdecode(idx):
-                # in-VMEM pattern-tip decode: 4-bit code -> 0/1 CLV rows
-                # (scalar shifts only; reference set_tipclv bit walk,
-                # pll.c:925-931)
-                word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
-                code = jnp.right_shift(word, np.int32(4 * (idx % 8))) & 0xF
+                # in-VMEM pattern-tip decode: ambiguity code/bitmask ->
+                # 0/1 CLV rows (scalar shifts only; reference set_tipclv
+                # bit walk, pll.c:925-931)
+                if chars:
+                    word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
+                    code = (jnp.right_shift(word, np.int32(4 * (idx % 8)))
+                            & 0xF)
+                else:  # one bitmask word per tip (wide alphabets)
+                    code = tips_ref[pl.ds(idx, 1), :]
                 if impl == "vpu":  # state-major rows s*C + c
                     return jnp.concatenate(
                         [jnp.broadcast_to(
@@ -445,7 +454,8 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             def child(idx):
                 if idx >= tips:
                     return inner_ref[idx - tips]
-                return tipdecode(idx) if chars else tips_ref[idx]
+                return (tipdecode(idx) if (chars or bitmasks)
+                        else tips_ref[idx])
 
             def scaler_rows(row):
                 if row == dummy:
@@ -486,7 +496,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
         nd = len(coeff.shape)
         tip_spec = (pl.BlockSpec((tips_packed.shape[0], bl),
                                  lambda j: (z, j), memory_space=pltpu.VMEM)
-                    if chars else
+                    if (chars or bitmasks) else
                     pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
                                  memory_space=pltpu.VMEM))
         in_specs = [

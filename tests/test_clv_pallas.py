@@ -362,3 +362,32 @@ def test_fused_forward_asc_bias(asc_mode):
                              interpret=True)
     logl, _, _, _ = fwd(model, packed)
     np.testing.assert_allclose(float(logl), float(logl_api), rtol=5e-5)
+
+
+@pytest.mark.parametrize("states,encoding,impl", [
+    (4, "chars", "vpu"),    # nibble-packed DNA codes
+    (20, "masks", "mxu"),   # protein ambiguity bitmasks
+])
+def test_fused_score_pattern_tips(states, encoding, impl):
+    """In-kernel pattern-tip decode on the fused edge score (the rebuild's
+    PLL_ATTRIB_PATTERN_TIP; reference src/pll.c:825-903): nibble codes /
+    bitmask words decoded to 0/1 CLV rows per use, matching the XLA
+    forward exactly."""
+    from libpll_tpu.engine.evaluate import make_forward, make_score
+    from test_clv_pallas_seg import _build as _build_seg
+
+    rng = np.random.default_rng(states)
+    topo, model, pmatrix, clv, scalers = _build_seg(
+        _random_tree_newick(10, rng), sites=128, states=states)
+    t = topo.schedule.tips
+    want, _ = make_forward(topo)(model, clv, scalers)
+
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(states, dtype=np.uint32)[None, :, None]).sum(1)
+    score = make_score(topo, 4, states, impl=impl, tip_encoding=encoding,
+                       interpret=True)
+    tp = (cp.pack_tipchars(masks) if encoding == "chars"
+          else jnp.asarray(masks.astype(np.int32)))
+    got = float(score(model, tp))
+    np.testing.assert_allclose(got, float(want), rtol=2e-5)
