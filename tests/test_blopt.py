@@ -140,3 +140,21 @@ def test_blopt_matches_oracle_newton():
     for k in ours:
         np.testing.assert_allclose(ours[k], theirs[k], rtol=5e-4,
                                    atol=1e-6, err_msg=f"edge {k}")
+
+
+def test_blopt_scan_matches_loop():
+    """The device-resident whole-sweep program (one compiled scan over all
+    edges) must reproduce the per-edge host loop's optimization."""
+    tree1, part1, seqs = _setup(seed=5, perturb=2.2)
+    l_loop, _ = blopt.optimize_branch_lengths(tree1, part1, [0] * CATS,
+                                              max_sweeps=4)
+    tree2, part2, _ = _setup(seed=5, perturb=2.2)
+    l_scan, _ = blopt.optimize_branch_lengths_scan(tree2, part2,
+                                                   [0] * CATS,
+                                                   max_sweeps=4)
+    assert abs(l_loop - l_scan) < 0.5
+
+    tree_chk = ut.parse_newick_string(ut.export_newick(tree2.root))
+    part_chk = _partition_for(tree_chk, seqs)
+    np.testing.assert_allclose(l_scan, _full_logl(tree_chk, part_chk),
+                               atol=1e-6)
