@@ -1,0 +1,142 @@
+"""End-to-end maximum-likelihood tree inference.
+
+The complete workflow libpll users assemble by hand from the library's
+pieces (reference: stepwise.c starting trees + utree_moves.c SPR loops +
+the newton example's branch-length optimization), packaged as one driver:
+
+  1. randomized stepwise-addition parsimony starting tree (seed-exact RNG,
+     persistent directional Fitch vectors, batched candidate scoring);
+  2. alternating rounds of
+       a. full-tree Newton branch-length sweeps — the device-resident
+          whole-sweep program (one dispatch per sweep), and
+       b. likelihood SPR rounds — batched incremental candidate scoring
+          (one dispatch per candidate batch, zero recompiles),
+     until neither improves the log-likelihood.
+
+Everything after the host-side tree bookkeeping runs on device through the
+schedule-as-data executors, so the entire search triggers a fixed, small
+number of compilations regardless of how many topologies it visits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import blopt
+from ..engine.partition import Partition
+from ..io import maps
+from ..models.gamma import compute_gamma_cats
+from ..tree import utree as ut
+from .parsimony import FastParsimony
+from .spr import make_round_scorer, spr_round
+from .stepwise import fastparsimony_stepwise
+
+
+@dataclass
+class InferResult:
+    tree: ut.UTree
+    partition: Partition
+    logl: float
+    start_parsimony_score: int
+    rounds: int
+    trajectory: List[float] = field(default_factory=list)
+
+
+def infer_tree(sequences: Dict[str, str], *, states: int = 4,
+               rate_cats: int = 4, alpha: float = 1.0,
+               frequencies: Optional[Sequence[float]] = None,
+               subst_params: Optional[Sequence[float]] = None,
+               charmap: Optional[np.ndarray] = None, seed: int = 42,
+               radius: int = 5, max_rounds: int = 20,
+               blopt_sweeps: int = 2, spr_batch: int = 32,
+               min_delta: float = 1e-6, dtype=jnp.float64) -> InferResult:
+    """Infer an ML tree for ``sequences`` (label -> aligned sequence).
+
+    Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
+    uniform) and Γ shape ``alpha``.  ``dtype`` selects the numeric path
+    (float64 parity path by default; float32 for TPU throughput).
+    """
+    labels = list(sequences)
+    seqs = [sequences[lab] for lab in labels]
+    tips = len(labels)
+    sites = len(seqs[0])
+    cmap = charmap if charmap is not None else (
+        maps.pll_map_nt if states == 4 else maps.pll_map_aa)
+
+    # 1. parsimony starting tree
+    pars = FastParsimony.from_sequences(seqs, cmap, states=states)
+    tree, pscore = fastparsimony_stepwise([pars], labels, seed)
+    for n in tree.nodes:  # stepwise emits zero-length branches
+        for m in ([n] if n.is_tip else n.ring()):
+            if m.length == 0.0:
+                m.length = 0.1
+            m.back.length = m.length
+
+    # 2. likelihood engine
+    part = Partition(tips, tips - 2, states, sites, 1, 2 * tips - 3,
+                     rate_cats, tips - 2, dtype=dtype)
+    order = {n.label: n.clv_index for n in ut.query_tipnodes(tree)}
+    for lab, s in zip(labels, seqs):
+        part.set_tip_states(order[lab], cmap, s)
+    n_params = states * (states - 1) // 2
+    part.set_frequencies(0, frequencies if frequencies is not None
+                         else [1.0 / states] * states)
+    part.set_subst_params(0, subst_params if subst_params is not None
+                          else [1.0] * n_params)
+    part.set_category_rates(compute_gamma_cats(alpha, rate_cats))
+    pidx = [0] * rate_cats
+
+    # 3. alternate branch-length sweeps and SPR rounds.  Both executors
+    # are schedule-as-data: ONE blopt program and ONE SPR scorer serve
+    # every round (fixed capacity envelopes, bumped only if a dirty
+    # subset outgrows them).
+    bl_cap = 32
+    bl_program = blopt.make_sweep_program(part.nodes, part.scale_buffers,
+                                          bl_cap, sites=part.sites,
+                                          scale_mode=part.scale_mode)
+
+    def run_blopt():
+        nonlocal bl_cap
+        while True:
+            try:
+                return blopt.optimize_branch_lengths_scan(
+                    tree, part, pidx, max_sweeps=blopt_sweeps,
+                    capacity=bl_cap, program=bl_program)
+            except ValueError:
+                bl_cap *= 2
+
+    logl, _ = run_blopt()
+    trajectory = [logl]
+    scorer = None
+    cap = max(16, 1 << (tips - 1).bit_length() // 2)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        if scorer is None:
+            scorer = make_round_scorer(part, cap)
+        try:
+            res = spr_round(tree, part, pidx, radius=radius, capacity=cap,
+                            batch=spr_batch, scorer=scorer,
+                            min_delta=min_delta)
+        except Exception:
+            # a candidate's dirty subset outgrew the capacity: rebuild the
+            # scorer with a doubled envelope (a handful of times at most)
+            cap *= 2
+            scorer = make_round_scorer(part, cap)
+            res = spr_round(tree, part, pidx, radius=radius, capacity=cap,
+                            batch=spr_batch, scorer=scorer,
+                            min_delta=min_delta)
+        improved = res.improved
+        logl = res.best_logl
+        new_logl, _ = run_blopt()
+        improved |= new_logl > logl + min_delta
+        logl = max(logl, new_logl)
+        trajectory.append(logl)
+        if not improved:
+            break
+
+    return InferResult(tree, part, float(logl), int(pscore), rounds,
+                       trajectory)

@@ -1,0 +1,43 @@
+"""End-to-end ML tree inference (search/infer.py): stepwise parsimony
+start, alternating device-resident branch-length sweeps and batched
+incremental SPR rounds.  On simulated data the pipeline must reach (at
+least) the likelihood of the true topology with optimized branch
+lengths."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+from libpll_tpu.engine import blopt
+from libpll_tpu.search.infer import infer_tree
+from libpll_tpu.tree import utree as ut
+
+from test_spr_search import (_partition_for, _random_tree, _simulate,
+                             _full_logl, TIPS, CATS, FREQS, PARAMS, ALPHA)
+
+
+def test_infer_reaches_true_tree_likelihood():
+    rng = np.random.default_rng(41)
+    true_newick = _random_tree(TIPS, rng)
+    seqs = _simulate(true_newick, rng)
+
+    res = infer_tree(seqs, rate_cats=CATS, alpha=ALPHA,
+                     frequencies=FREQS, subst_params=PARAMS,
+                     seed=42, radius=8, max_rounds=8)
+    assert res.rounds >= 1
+    assert res.trajectory == sorted(res.trajectory)  # monotone
+
+    # consistency: from-scratch evaluation of the inferred tree
+    tree_chk = ut.parse_newick_string(ut.export_newick(res.tree.root))
+    part_chk = _partition_for(tree_chk, seqs)
+    want = _full_logl(tree_chk, part_chk)
+    np.testing.assert_allclose(res.logl, want, atol=1e-5)
+
+    # benchmark: the true topology with optimized branch lengths
+    tree_true = ut.parse_newick_string(true_newick)
+    part_true = _partition_for(tree_true, seqs)
+    logl_true, _ = blopt.optimize_branch_lengths_scan(
+        tree_true, part_true, [0] * CATS, max_sweeps=6)
+    assert res.logl >= logl_true - 1.0, (res.logl, logl_true)
