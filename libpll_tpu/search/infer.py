@@ -53,22 +53,34 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                charmap: Optional[np.ndarray] = None, seed: int = 42,
                radius: int = 5, max_rounds: int = 20,
                blopt_sweeps: int = 2, spr_batch: int = 32,
-               min_delta: float = 1e-6, dtype=jnp.float64) -> InferResult:
+               min_delta: float = 1e-6, compress: bool = True,
+               dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
     Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
     uniform) and Γ shape ``alpha``.  ``dtype`` selects the numeric path
     (float64 parity path by default; float32 for TPU throughput).
+    ``compress`` dedups site patterns into weighted columns
+    (`pll_compress_site_patterns`) before any device work — the standard
+    real-data speedup; the inferred logL equals the uncompressed one.
     """
+    from ..io.compress import compress_site_patterns
+
     labels = list(sequences)
     seqs = [sequences[lab] for lab in labels]
     tips = len(labels)
-    sites = len(seqs[0])
     cmap = charmap if charmap is not None else (
         maps.pll_map_nt if states == 4 else maps.pll_map_aa)
 
+    weights = None
+    if compress:
+        seqs, weights = compress_site_patterns(seqs, cmap)
+    sites = len(seqs[0])
+
     # 1. parsimony starting tree
-    pars = FastParsimony.from_sequences(seqs, cmap, states=states)
+    pars = FastParsimony.from_sequences(
+        seqs, cmap, states=states,
+        pattern_weights=weights if weights is not None else None)
     tree, pscore = fastparsimony_stepwise([pars], labels, seed)
     for n in tree.nodes:  # stepwise emits zero-length branches
         for m in ([n] if n.is_tip else n.ring()):
@@ -82,6 +94,8 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     order = {n.label: n.clv_index for n in ut.query_tipnodes(tree)}
     for lab, s in zip(labels, seqs):
         part.set_tip_states(order[lab], cmap, s)
+    if weights is not None:
+        part.set_pattern_weights(weights)
     n_params = states * (states - 1) // 2
     part.set_frequencies(0, frequencies if frequencies is not None
                          else [1.0 / states] * states)

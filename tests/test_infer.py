@@ -41,3 +41,18 @@ def test_infer_reaches_true_tree_likelihood():
     logl_true, _ = blopt.optimize_branch_lengths_scan(
         tree_true, part_true, [0] * CATS, max_sweeps=6)
     assert res.logl >= logl_true - 1.0, (res.logl, logl_true)
+
+
+def test_infer_compression_invariant():
+    """Pattern compression must not change the inferred likelihood (same
+    seed, same model; `pll_compress_site_patterns` semantics)."""
+    rng = np.random.default_rng(8)
+    true_newick = _random_tree(TIPS, rng)
+    seqs = _simulate(true_newick, rng)
+    kw = dict(rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+              subst_params=PARAMS, seed=7, radius=5, max_rounds=3)
+    res_c = infer_tree(seqs, compress=True, **kw)
+    res_u = infer_tree(seqs, compress=False, **kw)
+    np.testing.assert_allclose(res_c.logl, res_u.logl, atol=1e-6)
+    assert (ut.export_newick(res_c.tree.root)
+            == ut.export_newick(res_u.tree.root))

@@ -147,3 +147,70 @@ def test_heterotachy_per_branch_matrices():
     r = ref.edge_loglikelihood(8, 3, 7, 2, 6, [0])
     m = mine.compute_edge_loglikelihood(8, 3, 7, 2, 6, [0])
     np.testing.assert_allclose(m, r, rtol=1e-10)
+
+
+def test_lg4m_mixture_fast_score():
+    """LG4M on the Pallas fast path: per-category rate matrices ride the
+    pmatrix C-axis, so the fused (pattern-tip) score supports mixtures by
+    construction — verified against the XLA forward."""
+    import jax.numpy as jnp
+
+    from libpll_tpu.engine.evaluate import (make_forward, make_score,
+                                            topology_from_tree)
+    from libpll_tpu.io.maps import encode_sequence, tipmask_to_clv
+    from libpll_tpu.models.gtr import eigen_decompose
+    from libpll_tpu.tree import utree as ut
+    from libpll_tpu.utils.constants import SCALE_PER_SITE
+
+    sites, C, S = 128, 4, 20
+    rates4, freqs4 = AA_MIXTURE_MODELS["lg4m"]
+    rng = np.random.default_rng(4)
+    items = [f"t{i}:{rng.uniform(0.05, 0.4):.3f}" for i in range(8)]
+    while len(items) > 3:
+        i, j = sorted(rng.choice(len(items), 2, replace=False))
+        b = items.pop(j)
+        a = items.pop(i)
+        items.append(f"({a},{b}):{rng.uniform(0.05, 0.4):.3f}")
+    tree = ut.parse_newick_string(f"({items[0]},{items[1]},{items[2]});")
+    topo, branches = topology_from_tree(tree, sites,
+                                        scale_mode=SCALE_PER_SITE)
+
+    evs, lefts, rights = [], [], []
+    for k in range(4):
+        w, l, r = eigen_decompose(np.asarray(rates4[k]),
+                                  np.asarray(freqs4[k]))
+        evs.append(w)
+        lefts.append(l)
+        rights.append(r)
+    gam = compute_gamma_cats(0.9, C)
+    f32 = jnp.float32
+    model = {
+        "branch_lengths": jnp.asarray(branches, f32),
+        "rates": jnp.asarray(gam, f32),
+        "prop_invar": jnp.zeros((4,), f32),
+        "params_indices": jnp.arange(4, dtype=jnp.int32),
+        "eigenvals": jnp.asarray(np.stack(evs), f32),
+        "left": jnp.asarray(np.stack(lefts), f32),
+        "right": jnp.asarray(np.stack(rights), f32),
+        "freqs_pc": jnp.asarray(np.stack(freqs4), f32),
+        "prop_invar_pc": jnp.zeros((C,), f32),
+        "rate_weights": jnp.full((C,), 0.25, f32),
+        "pattern_weights": jnp.ones((sites,), f32),
+        "invariant": jnp.full((sites,), -1, jnp.int32),
+    }
+
+    seqs = _protein_seqs(8, sites)
+    masks = np.stack([encode_sequence(s, maps.pll_map_aa) for s in seqs])
+    nodes = 2 * 8 - 2
+    clv = np.zeros((nodes, C, S, sites), np.float32)
+    for i in range(8):
+        clv[i] = np.broadcast_to(tipmask_to_clv(masks[i], S).T[None],
+                                 (C, S, sites))
+    clv = jnp.asarray(clv)
+    scalers = jnp.zeros((topo.schedule.n_inner + 1, sites), jnp.int32)
+
+    want, _ = make_forward(topo)(model, clv, scalers)
+    score = make_score(topo, C, S, impl="mxu", tip_encoding="masks",
+                       interpret=True)
+    got = float(score(model, jnp.asarray(masks.astype(np.int32))))
+    np.testing.assert_allclose(got, float(want), rtol=2e-5)
