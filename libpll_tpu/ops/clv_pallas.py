@@ -309,7 +309,6 @@ def sum_block_partials(partials: jax.Array) -> jax.Array:
     free even under TPU f64 emulation).  Without x64 it falls back to the
     f32 pairwise sum (error ~log2(#blocks) ulps, the representational
     limit of an f32 result anyway)."""
-    import jax.dtypes
 
     if jax.config.jax_enable_x64 and partials.dtype != jnp.float64:
         return jnp.sum(partials.astype(jnp.float64))
