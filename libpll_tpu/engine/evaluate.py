@@ -418,8 +418,14 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
 
     if topo.asc_mode and use_pinv:
         raise ValueError("asc-bias and prop-invar are mutually exclusive")
+    # score kernels hold no per-local output slabs (exports only), so they
+    # afford ~2x the sweep path's VMEM row budget; measured on TPU at
+    # 4096x8192: 18.0 ms (default rows) -> 16.1 ms (2x), regressing again
+    # beyond ~3x (VMEM pressure hurts pipelining)
+    score_rows = 2 * cpd._dyn_max_rows(rate_cats * states, 4, 128)
     dyn = cpd.build_dyn_schedule(
         topo.schedule, rate_cats=rate_cats, states=states,
+        max_rows=score_rows,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     masks = np.asarray(tip_masks)
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
@@ -478,8 +484,10 @@ def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
 
     if topo.asc_mode and use_pinv:
         raise ValueError("asc-bias and prop-invar are mutually exclusive")
+    score_rows = 2 * cpd._dyn_max_rows(rate_cats * states, 4, 128)
     dyn = cpd.build_dyn_schedule(
         topo.schedule, rate_cats=rate_cats, states=states,
+        max_rows=score_rows,
         ensure_rows=[topo.parent_clv, topo.child_clv])
     masks = np.asarray(tip_masks)
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
