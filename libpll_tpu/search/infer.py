@@ -21,7 +21,7 @@ number of compilations regardless of how many topologies it visits.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
