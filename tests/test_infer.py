@@ -56,3 +56,18 @@ def test_infer_compression_invariant():
     np.testing.assert_allclose(res_c.logl, res_u.logl, atol=1e-6)
     assert (ut.export_newick(res_c.tree.root)
             == ut.export_newick(res_u.tree.root))
+
+
+def test_infer_protein():
+    """Inference end-to-end on a 20-state alphabet (WAG-ish params via
+    uniform defaults): exercises protein Fitch packing, the generic
+    incremental scorer and the blopt program at S=20."""
+    rng = np.random.default_rng(2)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    labels = [f"p{i}" for i in range(6)]
+    seqs = {lab: "".join(rng.choice(list(aas), 40)) for lab in labels}
+    res = infer_tree(seqs, states=20, rate_cats=2, alpha=1.0, seed=3,
+                     radius=4, max_rounds=2)
+    assert np.isfinite(res.logl)
+    tree_chk = ut.parse_newick_string(ut.export_newick(res.tree.root))
+    assert tree_chk.tip_count == 6

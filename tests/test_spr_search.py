@@ -168,3 +168,29 @@ def test_spr_rounds_zero_recompiles():
         logls_seen.append(res.best_logl)
     assert scorer._cache_size() == 1, "scorer retraced across rounds"
     assert logls_seen[-1] >= logls_seen[0] - 1e-9
+
+
+def test_spr_round_per_rate_scalers():
+    """The incremental candidate scorer under PLL_ATTRIB_RATE_SCALERS:
+    per-(site,rate) counters ride the scratch rows and the edge fold."""
+    rng = np.random.default_rng(12)
+    newick = _random_tree(TIPS, rng)
+    seqs = _simulate(newick, rng)
+    tree = ut.parse_newick_string(newick)
+    part = pll.Partition(TIPS, TIPS - 2, 4, SITES, 1, 2 * TIPS - 3, CATS,
+                         TIPS - 2, scaling="rate")
+    order = {n.label: n.clv_index for n in ut.query_tipnodes(tree)}
+    for lab, s in seqs.items():
+        part.set_tip_states(order[lab], pll.maps.pll_map_nt, s)
+    part.set_frequencies(0, FREQS)
+    part.set_subst_params(0, PARAMS)
+    part.set_category_rates(pll.compute_gamma_cats(ALPHA, CATS))
+
+    res = spr_search.spr_round(tree, part, [0] * CATS, radius=5, batch=8)
+    assert res.best_logl >= res.logl0
+
+    # committed state equals a from-scratch (per-site-scaled) evaluation
+    tree_chk = ut.parse_newick_string(ut.export_newick(tree.root))
+    part_chk = _partition_for(tree_chk, seqs)
+    want = _full_logl(tree_chk, part_chk)
+    np.testing.assert_allclose(res.best_logl, want, atol=1e-8)
