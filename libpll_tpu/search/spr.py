@@ -246,3 +246,99 @@ def make_round_scorer(part, capacity: int):
         part.nodes, part.scale_buffers, capacity,
         sites=part.sites, scale_mode=part.scale_mode,
         asc_mode=part.asc_mode)
+
+
+# ---------------------------------------------------------------------------
+# NNI rounds on the same incremental machinery
+# ---------------------------------------------------------------------------
+def nni_candidates(tree: UTree) -> List[Tuple[UNode, int]]:
+    """Both interchanges across every internal edge (reference
+    `pll_utree_nni`, utree_moves.c:60-109)."""
+    out: List[Tuple[UNode, int]] = []
+    seen = set()
+    for n in ut.query_innernodes(tree):
+        for m in n.ring():
+            if m.back.next is None or m.pmatrix_index in seen:
+                continue
+            seen.add(m.pmatrix_index)
+            out.append((m, moves.NNI_LEFT))
+            out.append((m, moves.NNI_RIGHT))
+    return out
+
+
+def encode_nni_candidates(tree: UTree, candidates):
+    """Host pass for NNI: apply/peek/rollback each interchange.  NNI moves
+    no branch lengths, so the 'changed' P-matrix refresh re-derives an
+    existing row at its current length (an idempotent no-op the fixed-shape
+    scorer needs)."""
+    root = tree.root
+    enc: List[tuple] = []
+    n_ops_max = 0
+    for (edge, nni_type) in candidates:
+        if edge.next is None or edge.back.next is None:
+            continue
+        snap = inc.snapshot_flags(
+            [edge, edge.back, edge.next.back, edge.back.next.back,
+             edge.back.next.next.back])
+        rb = moves.Rollback(moves.MOVE_NNI)
+        try:
+            moves.nni(edge, nni_type, rollback=rb)
+        except SprError:
+            inc.restore_flags(snap)
+            continue
+        dirty = inc.peek_partial(root)
+        pops = inc.create_partial_operations(dirty)
+        changed = [(edge.length, edge.pmatrix_index)] * 3
+        eval_edge = (root.clv_index, root.scaler_index,
+                     root.back.clv_index, root.back.scaler_index,
+                     root.pmatrix_index)
+        moves.rollback_move(rb)
+        inc.restore_flags(snap)
+        if not pops:
+            continue
+        n_ops_max = max(n_ops_max, len(pops))
+        enc.append((edge, nni_type, changed, pops, eval_edge))
+    return enc, n_ops_max
+
+
+def nni_round(tree: UTree, part, params_indices, *,
+              capacity: Optional[int] = None, batch: int = 32,
+              min_delta: float = 1e-9, scorer=None) -> SprResult:
+    """Evaluate every NNI interchange incrementally (one compiled call per
+    batch) and apply the best improving one; same state guarantees as
+    :func:`spr_round`."""
+    root = tree.root
+    trav = ut.traverse(root)
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices(params_indices, midx, blens)
+    part.update_partials(ops)
+    inc.mark_valid(trav)
+    logl0 = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, params_indices)
+
+    enc, n_ops_max = encode_nni_candidates(tree, nni_candidates(tree))
+    if not enc:
+        return SprResult(logl0, logl0, False, 0, 0)
+    cap = capacity or max(8, 1 << (n_ops_max - 1).bit_length())
+    if n_ops_max > cap:
+        raise SprError(f"candidate op subset ({n_ops_max}) exceeds "
+                       f"capacity ({cap})")
+    if scorer is None:
+        scorer = make_round_scorer(part, cap)
+    logls = score_encoded(tree, part, params_indices, enc, cap, batch,
+                          scorer)
+    best_i = int(np.argmax(logls))
+    best_logl = float(logls[best_i])
+    if best_logl <= logl0 + min_delta:
+        return SprResult(logl0, logl0, False, len(enc), n_ops_max)
+
+    edge, nni_type = enc[best_i][0], enc[best_i][1]
+    moves.nni(edge, nni_type)
+    dirty = inc.partial_traverse(root)
+    part.update_partials(inc.create_partial_operations(dirty), pad_to=cap)
+    logl_new = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, params_indices)
+    return SprResult(logl0, float(logl_new), True, len(enc), n_ops_max,
+                     (edge.node_index, nni_type))

@@ -194,3 +194,46 @@ def test_spr_round_per_rate_scalers():
     part_chk = _partition_for(tree_chk, seqs)
     want = _full_logl(tree_chk, part_chk)
     np.testing.assert_allclose(res.best_logl, want, atol=1e-8)
+
+
+def test_nni_round_matches_bruteforce_and_commits():
+    """NNI rounds on the incremental scorer: candidate scores equal
+    from-scratch evaluations of the interchanged topology; the committed
+    move is consistent."""
+    rng = np.random.default_rng(19)
+    newick = _random_tree(TIPS, rng)
+    seqs = _simulate(newick, rng)
+    tree = ut.parse_newick_string(newick)
+    part = _partition_for(tree, seqs)
+
+    # baseline + encode + score
+    root = tree.root
+    trav = ut.traverse(root)
+    ops, blens, midx = ut.create_operations(trav)
+    part.update_prob_matrices([0] * CATS, midx, blens)
+    part.update_partials(ops)
+    inc.mark_valid(trav)
+    cands = spr_search.nni_candidates(tree)
+    assert len(cands) >= 2 * (TIPS - 3)
+    enc, n_max = spr_search.encode_nni_candidates(tree, cands)
+    cap = max(8, 1 << (n_max - 1).bit_length())
+    scorer = spr_search.make_round_scorer(part, cap)
+    logls = spr_search.score_encoded(tree, part, [0] * CATS, enc, cap, 8,
+                                     scorer)
+    for (edge, t, changed, pops, ev), got in list(zip(enc, logls))[:8]:
+        rb = moves.Rollback(moves.MOVE_NNI)
+        moves.nni(edge, t, rollback=rb)
+        tree_mv = ut.parse_newick_string(ut.export_newick(tree.root))
+        part_mv = _partition_for(tree_mv, seqs)
+        want = _full_logl(tree_mv, part_mv)
+        moves.rollback_move(rb)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-8)
+
+    # full round: committed state is consistent
+    res = spr_search.nni_round(tree, part, [0] * CATS, capacity=cap,
+                               scorer=scorer)
+    tree_chk = ut.parse_newick_string(ut.export_newick(tree.root))
+    part_chk = _partition_for(tree_chk, seqs)
+    want = _full_logl(tree_chk, part_chk)
+    np.testing.assert_allclose(res.best_logl, want, atol=1e-8)
+    assert res.best_logl >= res.logl0
