@@ -167,24 +167,9 @@ def fitch_edge_scores_batch(vectors, costs, nodes1, nodes2):
     return score.astype(costs.dtype) + costs[nodes1] + costs[nodes2]
 
 
-@jax.jit
-def fitch_insert_scores(vectors, costs, tipvec, u_idx, v_idx):
-    """Scores of inserting a new tip on each candidate edge, batched.
-
-    For edge (u, v) with directional subtree vectors V[u], V[v] and internal
-    mutation counts C[u], C[v], splicing tip T onto the edge creates inner
-    node X = fitch(V[u], T); the spliced tree's score is
-
-        C[u] + C[v] + mut(V[u], T) + mut(X, V[v])
-
-    (Fitch's count is rooting-invariant, so combining (V[u], T) first is
-    exact.) This scores ALL candidate edges in one batched kernel — the
-    reference instead re-runs a partial traversal per edge
-    (stepwise.c:241-323).
-
-    vectors: uint32 [D, S, W] directional vectors; costs: uint32 [D].
-    tipvec: uint32 [S, W]. u_idx/v_idx: int32 [E].
-    """
+def _insert_scores(vectors, costs, tipvec, u_idx, v_idx):
+    """Traceable body of :func:`fitch_insert_scores` (shared with the
+    device-resident stepwise program)."""
     a = vectors[u_idx]  # [E, S, W]
     b = vectors[v_idx]
     t = tipvec[None]  # [1, S, W]
@@ -204,3 +189,189 @@ def fitch_insert_scores(vectors, costs, tipvec, u_idx, v_idx):
 
     return (costs[u_idx] + costs[v_idx]
             + mut1.astype(costs.dtype) + mut2.astype(costs.dtype))
+
+
+def _ring_co_tables(n_tips: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static ring co-member tables for the device-resident stepwise build.
+
+    Direction rows: tips occupy rows 0..n-1; inner directed nodes are
+    allocated in ring triples (b, b+1, b+2) — the star ring at rows
+    n..n+2, then one triple per insertion.  Ring membership never changes
+    after creation, so ``co1[d]``/``co2[d]`` (= d.next / d.next.next in the
+    reference's ring representation, pll.h:312-334) are compile-time
+    constants; tips map to themselves (never dereferenced).
+    """
+    D = n_tips + 3 * (n_tips - 2)
+    co1 = np.arange(D, dtype=np.int32)
+    co2 = np.arange(D, dtype=np.int32)
+    for b in range(n_tips, D, 3):
+        co1[b], co1[b + 1], co1[b + 2] = b + 1, b + 2, b
+        co2[b], co2[b + 1], co2[b + 2] = b + 2, b, b + 1
+    return co1, co2
+
+
+def _chunk_fitch(vectors, costs, idx, c1, c2):
+    """Recompute the Fitch ops of rows ``idx`` (children c1/c2, gathered
+    per chunk; out-of-range sentinel rows scatter with mode='drop')."""
+    a = vectors[c1]
+    b = vectors[c2]
+    land = a & b
+    union = land[:, 0]
+    for k in range(1, land.shape[1]):
+        union = union | land[:, k]
+    newvec = land | (~union[:, None, :] & (a | b))
+    inc = jnp.sum(jax.lax.population_count(~union), axis=-1)
+    newcost = costs[c1] + costs[c2] + inc.astype(costs.dtype)
+    vectors = vectors.at[idx].set(newvec, mode="drop")
+    costs = costs.at[idx].set(newcost, mode="drop")
+    return vectors, costs
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
+    """The WHOLE greedy stepwise-addition build as ONE compiled program.
+
+    Replaces the reference's host-side insertion loop
+    (`stepwise.c:241-323`, 2 device dispatches + 1 readback per insertion
+    on this platform) with a `lax.fori_loop` over tips:
+
+      * topology lives on device as a ``back`` involution over direction
+        rows plus the static ring tables from :func:`_ring_co_tables`
+        (children of direction d are ``back[co1[d]], back[co2[d]]``);
+      * all candidate edges are scored in one batched gather + argmin
+        (first minimum wins — same tie-break as the reference edge list);
+      * the splice is 6 scatter updates of ``back`` + 2 appended edges;
+      * dirty directional vectors (the 2-per-node set whose subtree gained
+        the new tip) recompute in BFS waves via a dense-mask
+        ``while_loop``: dependents of row d are ``co1[back[d]],
+        co2[back[d]]`` — each dirty op has exactly one dirty child, one
+        BFS level below, so waves are dependency-safe.
+
+    vecs_t/costs_t: tuples (one per parsimony partition) of uint32
+    [D, S, W] / [D].  Returns (back, per-partition final edge scores).
+    """
+    D = back.shape[0]
+    E = edge_rows.shape[0]
+    co1_np, co2_np = _ring_co_tables(n_tips)
+    CO1, CO2 = jnp.asarray(co1_np), jnp.asarray(co2_np)
+    e_arange = jnp.arange(E, dtype=jnp.int32)
+
+    F = 128  # rows recomputed per chunk (wave split into chunks of F)
+
+    def run_bfs(vecs_t, costs_t, mask, back):
+        c1_all = back[CO1]
+        c2_all = back[CO2]
+
+        def wave_cond(s):
+            return jnp.any(s[2])
+
+        def wave_body(s):
+            vecs_t, costs_t, wave = s
+            # next wave from the FULL current wave before consuming it:
+            # dependents of d live at co1/co2 of the node d points into;
+            # rows pointing into tips scatter out of bounds and drop
+            valid = wave & (back >= n_tips)
+            t1 = jnp.where(valid, CO1[back], D)
+            t2 = jnp.where(valid, CO2[back], D)
+            nxt = jnp.zeros_like(wave)
+            nxt = nxt.at[t1].set(True, mode="drop")
+            nxt = nxt.at[t2].set(True, mode="drop")
+
+            # consume the wave in compacted chunks of F rows — work is
+            # O(dirty rows), not O(D); ops within a wave are independent
+            def chunk_cond(t):
+                return jnp.any(t[2])
+
+            def chunk_body(t):
+                vecs_t, costs_t, rem = t
+                (idx,) = jnp.nonzero(rem, size=F, fill_value=D)
+                rem = rem.at[idx].set(False, mode="drop")
+                safe = jnp.where(idx < D, idx, 0)
+                c1 = c1_all[safe]
+                c2 = c2_all[safe]
+                new = tuple(_chunk_fitch(v, c, idx, c1, c2)
+                            for v, c in zip(vecs_t, costs_t))
+                return (tuple(x[0] for x in new),
+                        tuple(x[1] for x in new), rem)
+
+            vecs_t, costs_t, _ = jax.lax.while_loop(
+                chunk_cond, chunk_body, (vecs_t, costs_t, wave))
+            return vecs_t, costs_t, nxt
+
+        vecs_t, costs_t, _ = jax.lax.while_loop(
+            wave_cond, wave_body, (vecs_t, costs_t, mask))
+        return vecs_t, costs_t
+
+    # star ring ops (rows n..n+2) before the first insertion; the star
+    # directions have tip children only, so this BFS runs exactly one wave
+    star_mask = jnp.zeros(D, jnp.bool_).at[n_tips:n_tips + 3].set(True)
+    vecs_t, costs_t = run_bfs(vecs_t, costs_t, star_mask, back)
+
+    def insert(i, carry):
+        vecs_t, costs_t, back, edge_rows = carry
+        ne = 2 * i - 3
+        base = n_tips + 3 * (i - 2)
+        tip = order[i]
+
+        u_idx = edge_rows
+        v_idx = back[edge_rows]
+        scores = None
+        for v, c in zip(vecs_t, costs_t):
+            s = _insert_scores(v, c, v[tip], u_idx, v_idx)
+            scores = s if scores is None else scores + s
+        scores = jnp.where(e_arange < ne, scores, jnp.uint32(0xFFFFFFFF))
+        e_star = jnp.argmin(scores)
+
+        u = edge_rows[e_star]
+        v = back[u]
+        r0, r1, r2 = base, base + 1, base + 2
+        back = (back.at[u].set(r0).at[r0].set(u)
+                    .at[v].set(r1).at[r1].set(v)
+                    .at[tip].set(r2).at[r2].set(tip))
+        # chosen entry stays (now edge u--r0); two new edges appended —
+        # the reference's edge-list enumeration order (stepwise.c:491-520)
+        edge_rows = edge_rows.at[ne].set(r1).at[ne + 1].set(r2)
+
+        mask = jnp.zeros(D, jnp.bool_).at[r0].set(True).at[r1].set(
+            True).at[r2].set(True)
+        vecs_t, costs_t = run_bfs(vecs_t, costs_t, mask, back)
+        return vecs_t, costs_t, back, edge_rows
+
+    vecs_t, costs_t, back, edge_rows = jax.lax.fori_loop(
+        3, n_tips, insert, (vecs_t, costs_t, back, edge_rows))
+
+    # final per-partition score at the (arbitrary) edge of row n
+    u = jnp.int32(n_tips)
+    v = back[u]
+    finals = []
+    for vec, c in zip(vecs_t, costs_t):
+        a = vec[u]
+        b = vec[v]
+        land = a & b
+        union = land[0]
+        for k in range(1, land.shape[0]):
+            union = union | land[k]
+        s = jnp.sum(jax.lax.population_count(~union), axis=-1)
+        finals.append(s.astype(c.dtype) + c[u] + c[v])
+    return back, tuple(finals)
+
+
+@jax.jit
+def fitch_insert_scores(vectors, costs, tipvec, u_idx, v_idx):
+    """Scores of inserting a new tip on each candidate edge, batched.
+
+    For edge (u, v) with directional subtree vectors V[u], V[v] and internal
+    mutation counts C[u], C[v], splicing tip T onto the edge creates inner
+    node X = fitch(V[u], T); the spliced tree's score is
+
+        C[u] + C[v] + mut(V[u], T) + mut(X, V[v])
+
+    (Fitch's count is rooting-invariant, so combining (V[u], T) first is
+    exact.) This scores ALL candidate edges in one batched kernel — the
+    reference instead re-runs a partial traversal per edge
+    (stepwise.c:241-323).
+
+    vectors: uint32 [D, S, W] directional vectors; costs: uint32 [D].
+    tipvec: uint32 [S, W]. u_idx/v_idx: int32 [E].
+    """
+    return _insert_scores(vectors, costs, tipvec, u_idx, v_idx)

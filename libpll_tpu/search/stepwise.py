@@ -189,6 +189,65 @@ class StepwiseBuilder:
         score = self._final_score(tree)
         return tree, score
 
+    def build_device(self, seed: int) -> Tuple[UTree, int]:
+        """Fully device-resident greedy build: the whole insertion loop —
+        candidate scoring, argmin, splice, dirty-vector BFS — runs inside
+        ONE compiled program (`fitch._stepwise_build`); the host reads back
+        only the final ``back`` topology array and the per-partition
+        scores.  Replaces the dispatch-bound per-insertion host loop
+        (2 dispatches + 1 readback × ~40 ms each on this platform) that
+        made :meth:`build` impractical on the remote TPU.  Seed/tie-break
+        parity with the reference (`stepwise.c:241-323`) is identical to
+        :meth:`build`: same shuffled order, same edge enumeration order,
+        first minimum wins."""
+        n = self.tips
+        if n < 4:
+            return self.build(seed)
+        order = shuffled_order(n, seed)
+        D = n + 3 * (n - 2)
+        E = 2 * n - 3
+
+        back0 = np.full(D, -1, np.int32)
+        for k in range(3):
+            back0[n + k] = order[k]
+            back0[order[k]] = n + k
+        edge_rows0 = np.array([n, n + 1, n + 2] + [0] * (E - 3), np.int32)
+
+        vecs_t, costs_t = [], []
+        for part in self.partitions:
+            vecs = jnp.zeros((D,) + part.vectors.shape[1:], dtype=jnp.uint32)
+            vecs = vecs.at[:n].set(part.vectors[:n])
+            vecs_t.append(vecs)
+            costs_t.append(jnp.zeros((D,), dtype=jnp.uint32))
+
+        back, finals = fitch._stepwise_build(
+            n, tuple(vecs_t), tuple(costs_t), jnp.asarray(back0),
+            jnp.asarray(edge_rows0), jnp.asarray(order, jnp.int32))
+        back = np.asarray(back)
+        score = int(sum(int(f) for f in finals)
+                    + sum(p.const_cost for p in self.partitions))
+        return self._reconstruct(back), score
+
+    def _reconstruct(self, back: np.ndarray) -> UTree:
+        """Rebuild the UNode graph from the device ``back`` involution +
+        the static ring layout (tips 0..n-1; inner rows in ring triples)."""
+        n, D = self.tips, len(back)
+        if not np.array_equal(back[back], np.arange(D)):
+            raise RuntimeError("device stepwise returned a corrupt topology"
+                               " (back[] is not an involution)")
+        nodes: list = []
+        for t in range(n):
+            nd = UNode(self.labels[t], 0.0)
+            nd.data = t
+            nodes.append(nd)
+        for b in range(n, D, 3):
+            r = [UNode(None, 0.0) for _ in range(3)]
+            r[0].next, r[1].next, r[2].next = r[1], r[2], r[0]
+            nodes.extend(r)
+        for d in range(D):
+            nodes[d].back = nodes[back[d]]
+        return self._wrap(nodes[n])
+
     def _splice(self, u: UNode, v: UNode, tip_index: int) -> UNode:
         """Split edge (u, v) with a new inner ring; wiring mirrors
         utree_edgesplit + utree_link (stepwise.c:215-240, 281-283):
@@ -230,7 +289,18 @@ class StepwiseBuilder:
 
 def fastparsimony_stepwise(partitions: Sequence[FastParsimony],
                            labels: Sequence[str], seed: int,
-                           ) -> Tuple[UTree, int]:
-    """reference pll_fastparsimony_stepwise (stepwise.c:337-546)."""
+                           engine: str = "device") -> Tuple[UTree, int]:
+    """reference pll_fastparsimony_stepwise (stepwise.c:337-546).
+
+    engine="device" (default) runs the whole greedy build as one compiled
+    program on the accelerator; engine="host" keeps the insertion loop on
+    the host with batched per-insertion device calls (the reference-shaped
+    dual path, kept for cross-validation).  Both are seed- and
+    tie-break-exact with the reference.
+    """
     builder = StepwiseBuilder(partitions, labels)
-    return builder.build(seed)
+    if engine == "device":
+        return builder.build_device(seed)
+    if engine == "host":
+        return builder.build(seed)
+    raise ValueError(f"unknown stepwise engine {engine!r}")

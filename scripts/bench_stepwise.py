@@ -8,7 +8,9 @@ scoring) and (b) the reference's pll_fastparsimony_stepwise via the oracle
 .so (plain-C kernels, single core; the reference's SIMD tiers accelerate
 the Fitch words but not the O(n) candidate loop structure).
 
-Usage: python scripts/bench_stepwise.py [tips] [sites] [platform]
+Usage: python scripts/bench_stepwise.py [tips] [sites] [platform] [engine]
+engine: "device" (whole build as ONE compiled program, default) or "host"
+(per-insertion batched device calls).
 """
 import os
 import sys
@@ -18,6 +20,7 @@ tips = int(sys.argv[1]) if len(sys.argv) > 1 else 500
 sites = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
 if len(sys.argv) > 3:
     os.environ["JAX_PLATFORMS"] = sys.argv[3]
+engine = sys.argv[4] if len(sys.argv) > 4 else "device"
 
 import numpy as np
 sys.path.insert(0, "tests")
@@ -39,15 +42,15 @@ t0 = time.perf_counter()
 from libpll_tpu.io import maps
 part = FastParsimony.from_sequences(seqs, maps.pll_map_nt, states=4)
 t1 = time.perf_counter()
-tree, score = fastparsimony_stepwise([part], labels, seed=42)
+tree, score = fastparsimony_stepwise([part], labels, seed=42, engine=engine)
 t2 = time.perf_counter()
-print(f"ours: init {t1-t0:.2f}s build {t2-t1:.2f}s score={score}")
+print(f"ours ({engine}): init {t1-t0:.2f}s build {t2-t1:.2f}s score={score}")
 
 # second build: compiled caches warm
 t3 = time.perf_counter()
-tree, score2 = fastparsimony_stepwise([part], labels, seed=43)
+tree, score2 = fastparsimony_stepwise([part], labels, seed=43, engine=engine)
 t4 = time.perf_counter()
-print(f"ours (warm): build {t4-t3:.2f}s score={score2}")
+print(f"ours ({engine}, warm): build {t4-t3:.2f}s score={score2}")
 
 import oracle
 if oracle.available():

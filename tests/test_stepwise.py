@@ -61,6 +61,53 @@ def test_stepwise_score_matches_reference(seed, tips, sites):
     assert score == want, f"score {score} != reference {want} (seed {seed})"
 
 
+@pytest.mark.parametrize("seed", [1, 42, 12345])
+@pytest.mark.parametrize("tips,sites", [(8, 60), (16, 120)])
+def test_stepwise_device_engine_matches_reference(seed, tips, sites):
+    """The fully device-resident build (one compiled program for the whole
+    greedy insertion loop) must be seed- and tie-break-exact with the
+    reference, like the host engine."""
+    seqs = ["".join(RNG.choice(list("ACGT"), sites)) for _ in range(tips)]
+    labels = [f"t{i}" for i in range(tips)]
+
+    want = _oracle_stepwise(seqs, labels, seed)
+
+    part = FastParsimony.from_sequences(seqs, maps.pll_map_nt, 4)
+    tree, score = fastparsimony_stepwise([part], labels, seed,
+                                         engine="device")
+    assert ut.check_integrity(tree)
+    assert score == want, f"score {score} != reference {want} (seed {seed})"
+
+
+def test_stepwise_device_topology_matches_host_engine():
+    """Same seed -> identical topology (not just score) across engines."""
+    tips, sites = 14, 90
+    seqs = ["".join(RNG.choice(list("ACGT"), sites)) for _ in range(tips)]
+    labels = [f"t{i}" for i in range(tips)]
+    part = FastParsimony.from_sequences(seqs, maps.pll_map_nt, 4)
+    for seed in (0, 7, 99):
+        th, sh = fastparsimony_stepwise([part], labels, seed, engine="host")
+        td, sd = fastparsimony_stepwise([part], labels, seed,
+                                        engine="device")
+        assert sh == sd
+        assert ut.export_newick(th.root) == ut.export_newick(td.root)
+
+
+def test_stepwise_device_multiple_partitions():
+    """Per-edge scores of several partitions sum before the argmin
+    (reference stepwise.c:288-297) on the device engine too."""
+    tips, sites = 10, 80
+    seqs1 = ["".join(RNG.choice(list("ACGT"), sites)) for _ in range(tips)]
+    seqs2 = ["".join(RNG.choice(list("ACGT"), sites)) for _ in range(tips)]
+    labels = [f"t{i}" for i in range(tips)]
+    p1 = FastParsimony.from_sequences(seqs1, maps.pll_map_nt, 4)
+    p2 = FastParsimony.from_sequences(seqs2, maps.pll_map_nt, 4)
+    th, sh = fastparsimony_stepwise([p1, p2], labels, 5, engine="host")
+    td, sd = fastparsimony_stepwise([p1, p2], labels, 5, engine="device")
+    assert sh == sd
+    assert ut.export_newick(th.root) == ut.export_newick(td.root)
+
+
 def test_stepwise_seed_zero_no_shuffle():
     tips, sites = 7, 40
     seqs = ["".join(RNG.choice(list("ACGT"), sites)) for _ in range(tips)]
