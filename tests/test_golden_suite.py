@@ -5,24 +5,36 @@ Each test replicates one of the reference's hand-built test programs
 (`/root/reference/test/src/*.c`) step for step and checks the numbers it
 prints against the committed golden file in `test/out/` — the same files
 all of the reference's SIMD kernels are validated against (runtest.py runs
-every program under 8 attribute combinations against one golden).  Together
-with tests/test_golden.py (00010, 00020) this covers every reference test
-program whose input data is inline; the remaining programs read fixture
-alignments that the reference downloads at test time (absent here) and are
-covered by the compiled-oracle parity tests instead.
+every program under 8 attribute combinations against one golden).
 
-Covered here:
-  00011_NMAU_lkcalc   5-taxon unrooted protein (Dayhoff), Γ4
-  00012_NMOU_lkcalc   5-taxon unrooted 7-state odd alphabet, Γ4
-  00021_NMAR_lkcalc   5-taxon rooted protein
-  00022_NMOR_lkcalc   5-taxon rooted odd alphabet (+ illegal-alpha probe)
-  00030_NMDU_gamma    Γ mean vs median discretization, DNA
-  00032_NMOU_gamma    Γ modes × categories × alphas grid, odd alphabet
-  alpha-cats          9 alphas × 5 category counts × 2 modes, DNA
-  hky                 10 ti/tv ratios via GTR parameterization
-  derivatives         d/dd grid: 3 alphas × 4 p-inv × 3 cat-counts ×
-                      9 branch lengths, inner and tip edges
-  derivatives-oddstates  same grid on a 5-state alphabet
+The reference ships 14 test programs whose input data is fully inline
+(no downloaded fixture).  Status of each:
+
+  golden-diffed in tests/test_golden.py:
+    00010_NMDU_lkcalc  00020_NMDR_lkcalc
+  golden-diffed here:
+    00011_NMAU_lkcalc   5-taxon unrooted protein (Dayhoff), Γ4
+    00012_NMOU_lkcalc   5-taxon unrooted 7-state odd alphabet, Γ4
+    00021_NMAR_lkcalc   5-taxon rooted protein
+    00022_NMOR_lkcalc   5-taxon rooted odd alphabet (+ illegal-alpha probe)
+    00030_NMDU_gamma    Γ mean vs median discretization, DNA
+    00032_NMOU_gamma    Γ modes × categories × alphas grid, odd alphabet
+    alpha-cats          9 alphas × 5 category counts × 2 modes, DNA
+    hky                 10 ti/tv ratios via GTR parameterization
+    derivatives         d/dd grid: 3 alphas × 4 p-inv × 3 cat-counts ×
+                        9 branch lengths, inner and tip edges
+    derivatives-oddstates  same grid on a 5-state alphabet
+    pmatrix             3 alphabets × 9 param combos × 5 branches × 4
+                        extreme rate cats, every P entry at 9 decimals
+                        (+ the negative-entry regression check)
+  no committed golden upstream (oracle-covered instead):
+    protein-models      all 19 empirical AA matrices — exercised against
+                        the compiled oracle in tests/test_models.py
+
+The remaining reference programs (asc-bias, scaling, partial-traversal,
+rooted*, 00110/00120 fasta, …) read fixture alignments downloaded at test
+time (absent offline); their semantics are covered by the compiled-oracle
+parity tests.
 """
 
 import os
@@ -407,6 +419,79 @@ def _run_derivatives_program(golden_name, states, seqs, charmap, freqs,
             # restore the original branch matrix (reference does the same)
             part.update_prob_matrices([0] * cats, [pidx],
                                       [branch_lengths[pidx]])
+
+
+def _pmatrix_freq_sets(n):
+    """The 3 base-frequency sets of test/src/pmatrix.c:109-139
+    (equal / skewed / extreme)."""
+    equal = [1.0 / n] * n
+    skew = 1.0 / (3.0 * n)
+    skewed = []
+    for k in range(n):
+        v = 1.0 / n
+        if k % 2 == 0:
+            v += skew
+        elif k != n - 1:
+            v -= skew
+        skewed.append(v)
+    minfreq = 1e-3
+    maxfreq = (1.0 - 0.5 * n * minfreq) / (0.5 * n)
+    extreme = [minfreq if k % 2 == 0 else maxfreq for k in range(n)]
+    return [equal, skewed, extreme]
+
+
+def _pmatrix_rate_sets(nr):
+    """The 3 substitution-rate sets of test/src/pmatrix.c:141-168."""
+    equal = [1.0] * nr
+    skewed = []
+    for k in range(nr):
+        v = 1.0
+        if k % 2 == 0:
+            v *= 5.0
+        elif k != nr - 1:
+            v /= 5.0
+        skewed.append(v)
+    extreme = [1e-3 if k % 2 == 0 else 1e3 for k in range(nr - 1)] + [1.0]
+    return [equal, skewed, extreme]
+
+
+def test_pmatrix_golden():
+    """test/src/pmatrix.c against its committed golden (test/out/
+    pmatrix.out): 3 alphabets × 3 frequency sets × 3 subst-param sets ×
+    5 branch lengths (1e-6 … 100) × 4 extreme category rates (1e-31 …
+    100), every P-matrix entry at 9-decimal print precision — plus the
+    reference's negative-entry regression check (check_matrix,
+    pmatrix.c:47-56; the expm1+identity construction of
+    core_pmatrix.c:182-237 must keep P ≥ 0 as Qt → 0)."""
+    golden = _golden("pmatrix.out")
+    blocks = re.split(r"P-matrix: \d+, brlen = \d+\.\d+\n", golden)[1:]
+    assert len(blocks) == 135  # 3 alphabets x 9 param combos x 5 branches
+
+    cat_rates = [1e-31, 1e-6, 1.0, 100.0]
+    branch_lengths = [1e-6, 1e-2, 0.2, 1.0, 100.0]
+    bi = 0
+    for states in (4, 20, 5):  # DNA, PROT, ODD — program order
+        nr = states * (states - 1) // 2
+        part = pll.Partition(4, 0, states, 5, 1, 5, 4, 0, scaling="none")
+        part.set_category_rates(cat_rates)
+        for freqs in _pmatrix_freq_sets(states):
+            for subst in _pmatrix_rate_sets(nr):
+                part.set_frequencies(0, freqs)
+                part.set_subst_params(0, subst)
+                part.update_prob_matrices([0] * 4, [0, 1, 2, 3, 4],
+                                          branch_lengths)
+                pm = np.asarray(part.pmatrix)  # [5, C, S, S]
+                assert np.isfinite(pm).all()
+                assert (pm >= 0).all(), "negative P-matrix entry"
+                for b in range(5):
+                    # matrix entries are the only signed floats printed
+                    vals = [float(x) for x in
+                            re.findall(r"[+-]\d+\.\d+", blocks[bi])]
+                    want = np.array(vals).reshape(4, states, states)
+                    ctx = f"states={states} block={bi} brlen={branch_lengths[b]}"
+                    np.testing.assert_allclose(pm[b], want, atol=1e-9,
+                                               err_msg=ctx)
+                    bi += 1
 
 
 def test_derivatives_grid_dna():
