@@ -79,12 +79,19 @@ def optimize_branch_lengths(tree, part, params_indices, *,
     """Optimize every branch length in place; returns (final logL,
     sweeps used).  ``part`` must hold the model for ``tree`` (tips set,
     params set); CLVs are (re)computed here."""
+    from ..errors import ParamError
     from ..utils.constants import SCALE_PER_RATE
 
+    if max_sweeps < 1:
+        raise ParamError("max_sweeps must be >= 1")
     root = tree.root
     pidx = list(params_indices)
     per_rate = part.scale_mode == SCALE_PER_RATE
-    cap = pad_to or max(8, 1 << (2 * tree.tip_count - 3).bit_length())
+    # start small: per-step dirty subsets are O(1) on the pre-order sweep
+    # (consecutive evaluation roots are adjacent); grow on demand instead
+    # of padding every step to the full-schedule envelope, which would
+    # make each partial update cost ~2x a full-tree sweep
+    cap = pad_to or 32
 
     # initial full evaluation + validity flags
     trav = ut.traverse(root)
@@ -111,6 +118,8 @@ def optimize_branch_lengths(tree, part, params_indices, *,
             # re-orient: recompute only the CLVs invalid for this rooting
             pops = inc.create_partial_operations(inc.partial_traverse(u))
             if pops:
+                if len(pops) > cap:
+                    cap = 1 << (len(pops) - 1).bit_length()
                 part.update_partials(pops, pad_to=cap)
 
             st = part.update_sumtable(u.clv_index, u.back.clv_index,
@@ -159,7 +168,8 @@ def optimize_branch_lengths(tree, part, params_indices, *,
     # final consistent evaluation at the canonical root
     pops = inc.create_partial_operations(inc.partial_traverse(root))
     if pops:
-        part.update_partials(pops, pad_to=cap)
+        part.update_partials(pops, pad_to=max(
+            cap, 1 << (len(pops) - 1).bit_length()))
     logl = _edge_logl(part, root, pidx)
     return float(logl), sweep + 1
 
@@ -308,9 +318,12 @@ def optimize_branch_lengths_scan(tree, part, params_indices, *,
     data; `program` can be reused across sweeps/trees of the same
     envelope for zero recompiles).  Returns (final logL, sweeps used)."""
     from ..engine.partition import operations_to_array
+    from ..errors import ParamError
     from ..ops.incremental import pad_op_table
     from ..search.spr import _model_from_partition
 
+    if max_sweeps < 1:
+        raise ParamError("max_sweeps must be >= 1")
     root = tree.root
     pidx = list(params_indices)
     NS = part.scale_buffers

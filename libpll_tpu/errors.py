@@ -66,3 +66,11 @@ class AscBiasError(ParamError):
 
 class EinvalError(PllError, ValueError):
     """Invalid argument (reference: PLL_ERROR_EINVAL)."""
+
+
+class CapacityError(PllError, ValueError):
+    """A schedule-as-data envelope overflowed: an op subset is larger than
+    the fixed capacity a compiled executor was built for.  Drivers catch
+    exactly this to resize the envelope; any other failure propagates.
+    (No reference counterpart — the C library has no compiled-shape
+    envelopes; subclasses ValueError for backward compatibility.)"""

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..errors import CapacityError
 from ..utils.constants import SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE
 from . import likelihood as lk_ops
 from .clv import _one_partial, _scale_consts
@@ -43,7 +44,8 @@ def pad_op_table(ops_arr: np.ndarray, capacity: int) -> np.ndarray:
     functions of the children).  Raises if n > capacity."""
     n = ops_arr.shape[0]
     if n > capacity:
-        raise ValueError(f"op subset ({n}) exceeds capacity ({capacity})")
+        raise CapacityError(
+            f"op subset ({n}) exceeds capacity ({capacity})")
     if n == 0:
         raise ValueError("empty op table")
     pad = np.repeat(ops_arr[-1:], capacity - n, axis=0)

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..engine import blopt
 from ..engine.partition import Partition
+from ..errors import CapacityError
 from ..io import maps
 from ..models.gamma import compute_gamma_cats
 from ..tree import utree as ut
@@ -114,19 +115,32 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                                           scale_mode=part.scale_mode)
 
     def run_blopt():
-        nonlocal bl_cap
+        # capacity overflow (a re-orientation subset outgrew the envelope)
+        # is the ONLY retryable condition; the retry count is bounded by
+        # the pow2 ladder up to the full schedule size
+        nonlocal bl_cap, bl_program
+        max_cap = 1 << (2 * tips - 3).bit_length()
         while True:
             try:
                 return blopt.optimize_branch_lengths_scan(
                     tree, part, pidx, max_sweeps=blopt_sweeps,
                     capacity=bl_cap, program=bl_program)
-            except ValueError:
+            except CapacityError:
+                if bl_cap >= max_cap:
+                    raise
                 bl_cap *= 2
+                bl_program = blopt.make_sweep_program(
+                    part.nodes, part.scale_buffers, bl_cap,
+                    sites=part.sites, scale_mode=part.scale_mode)
 
     logl, _ = run_blopt()
     trajectory = [logl]
     scorer = None
-    cap = max(16, 1 << (tips - 1).bit_length() // 2)
+    # a radius-r candidate's dirty path is bounded by the prune->regraft
+    # path plus the eval-edge re-orientation: 2·radius + O(1) ops
+    # (measured ≤ 2·radius + 8 across the bench configs), so the envelope
+    # is pre-sized — no compile-resize storm at default radius
+    cap = 1 << (2 * radius + 8 - 1).bit_length()
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         if scorer is None:
@@ -135,9 +149,10 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
             res = spr_round(tree, part, pidx, radius=radius, capacity=cap,
                             batch=spr_batch, scorer=scorer,
                             min_delta=min_delta)
-        except Exception:
-            # a candidate's dirty subset outgrew the capacity: rebuild the
-            # scorer with a doubled envelope (a handful of times at most)
+        except CapacityError:
+            # a candidate's dirty subset outgrew the pre-sized envelope:
+            # rebuild the scorer once with a doubled envelope; any other
+            # error propagates untouched
             cap *= 2
             scorer = make_round_scorer(part, cap)
             res = spr_round(tree, part, pidx, radius=radius, capacity=cap,

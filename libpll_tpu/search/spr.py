@@ -34,7 +34,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import SprError
+from ..errors import CapacityError, SprError
 from ..ops import incremental as inc_ops
 from ..tree import incremental as inc
 from ..tree import moves
@@ -142,8 +142,8 @@ def spr_round(tree: UTree, part, params_indices, *,
         return SprResult(logl0, logl0, False, 0, 0)
     cap = capacity or max(8, 1 << (n_ops_max - 1).bit_length())
     if n_ops_max > cap:
-        raise SprError(f"candidate op subset ({n_ops_max}) exceeds "
-                       f"capacity ({cap})")
+        raise CapacityError(f"candidate op subset ({n_ops_max}) exceeds "
+                            f"capacity ({cap})")
 
     if scorer is None:
         scorer = make_round_scorer(part, cap)
@@ -162,7 +162,10 @@ def spr_round(tree: UTree, part, params_indices, *,
                               [b for b, _ in changed])
     dirty = inc.partial_traverse(root)
     pops = inc.create_partial_operations(dirty)
-    part.update_partials(pops, pad_to=cap)
+    # the committed subset can exceed the candidate cap (it includes the
+    # re-orientation to the canonical root): grow the pad, don't raise
+    part.update_partials(pops, pad_to=max(
+        cap, 1 << (len(pops) - 1).bit_length()))
     logl_new = part.compute_edge_loglikelihood(
         root.clv_index, root.scaler_index, root.back.clv_index,
         root.back.scaler_index, root.pmatrix_index, params_indices)
@@ -182,7 +185,7 @@ def encode_candidates(tree: UTree, candidates):
                                    r, r.back])
         rb = moves.Rollback(moves.MOVE_SPR)
         try:
-            changed = moves.spr(p, r, rollback=rb)
+            changed = moves.spr_safe(p, r, rollback=rb)
         except SprError:
             inc.restore_flags(snap)
             continue
@@ -322,8 +325,8 @@ def nni_round(tree: UTree, part, params_indices, *,
         return SprResult(logl0, logl0, False, 0, 0)
     cap = capacity or max(8, 1 << (n_ops_max - 1).bit_length())
     if n_ops_max > cap:
-        raise SprError(f"candidate op subset ({n_ops_max}) exceeds "
-                       f"capacity ({cap})")
+        raise CapacityError(f"candidate op subset ({n_ops_max}) exceeds "
+                            f"capacity ({cap})")
     if scorer is None:
         scorer = make_round_scorer(part, cap)
     logls = score_encoded(tree, part, params_indices, enc, cap, batch,
@@ -336,7 +339,9 @@ def nni_round(tree: UTree, part, params_indices, *,
     edge, nni_type = enc[best_i][0], enc[best_i][1]
     moves.nni(edge, nni_type)
     dirty = inc.partial_traverse(root)
-    part.update_partials(inc.create_partial_operations(dirty), pad_to=cap)
+    pops = inc.create_partial_operations(dirty)
+    part.update_partials(pops, pad_to=max(
+        cap, 1 << (len(pops) - 1).bit_length()))
     logl_new = part.compute_edge_loglikelihood(
         root.clv_index, root.scaler_index, root.back.clv_index,
         root.back.scaler_index, root.pmatrix_index, params_indices)

@@ -7,10 +7,14 @@ lengths."""
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, "tests")
 
 from libpll_tpu.engine import blopt
+from libpll_tpu.errors import CapacityError, ParamError
+from libpll_tpu.search import infer as infer_mod
+from libpll_tpu.search import spr as spr_mod
 from libpll_tpu.search.infer import infer_tree
 from libpll_tpu.tree import utree as ut
 
@@ -56,6 +60,89 @@ def test_infer_compression_invariant():
     np.testing.assert_allclose(res_c.logl, res_u.logl, atol=1e-6)
     assert (ut.export_newick(res_c.tree.root)
             == ut.export_newick(res_u.tree.root))
+
+
+def test_spr_round_capacity_overflow_is_typed():
+    """A too-small envelope raises CapacityError (the one retryable
+    condition), not a generic failure."""
+    rng = np.random.default_rng(11)
+    tree = ut.parse_newick_string(_random_tree(TIPS, rng))
+    seqs = _simulate(ut.export_newick(tree.root), rng)
+    part = _partition_for(tree, seqs)
+    with pytest.raises(CapacityError):
+        spr_mod.spr_round(tree, part, [0] * CATS, radius=6, capacity=2)
+
+
+def test_infer_does_not_mask_unrelated_errors(monkeypatch):
+    """An injected non-capacity failure inside the SPR round must
+    propagate immediately — not be retried as a capacity overflow."""
+    rng = np.random.default_rng(12)
+    seqs = _simulate(_random_tree(TIPS, rng), rng)
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected unrelated failure")
+
+    monkeypatch.setattr(infer_mod, "spr_round", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        infer_tree(seqs, rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+                   subst_params=PARAMS, seed=5, radius=3, max_rounds=2)
+    assert calls["n"] == 1  # no capacity-style retry happened
+
+
+def test_infer_single_scorer_compile_at_default_radius(monkeypatch):
+    """The radius-derived envelope must be big enough that infer_tree
+    builds exactly ONE SPR scorer (no resize recompile) by default."""
+    rng = np.random.default_rng(13)
+    seqs = _simulate(_random_tree(TIPS, rng), rng)
+
+    builds = {"n": 0}
+    real = infer_mod.make_round_scorer
+
+    def counting(part, cap):
+        builds["n"] += 1
+        return real(part, cap)
+
+    monkeypatch.setattr(infer_mod, "make_round_scorer", counting)
+    res = infer_tree(seqs, rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+                     subst_params=PARAMS, seed=5, radius=5, max_rounds=4)
+    assert np.isfinite(res.logl)
+    assert builds["n"] == 1, f"scorer compiled {builds['n']} times"
+
+
+def test_blopt_rejects_zero_sweeps():
+    rng = np.random.default_rng(14)
+    tree = ut.parse_newick_string(_random_tree(TIPS, rng))
+    seqs = _simulate(ut.export_newick(tree.root), rng)
+    part = _partition_for(tree, seqs)
+    with pytest.raises(ParamError):
+        blopt.optimize_branch_lengths(tree, part, [0] * CATS, max_sweeps=0)
+    with pytest.raises(ParamError):
+        blopt.optimize_branch_lengths_scan(tree, part, [0] * CATS,
+                                           max_sweeps=0)
+
+
+def test_spr_round_rejects_contained_regraft():
+    """A caller-supplied candidate whose regraft edge lies inside the
+    pruned subtree must be skipped (spr_safe containment), leaving the
+    tree intact, instead of silently corrupting it."""
+    rng = np.random.default_rng(15)
+    tree = ut.parse_newick_string(_random_tree(TIPS, rng))
+    seqs = _simulate(ut.export_newick(tree.root), rng)
+    part = _partition_for(tree, seqs)
+    # find an inner node p and an edge INSIDE its pruned subtree (behind
+    # p.back)
+    p = next(n for n in ut.query_innernodes(tree)
+             if n.back.next is not None)
+    inside = p.back.next.back
+    before = ut.export_newick(tree.root)
+    res = spr_mod.spr_round(tree, part, [0] * CATS,
+                            candidates=[(p, inside)])
+    assert not res.improved and res.n_candidates == 0
+    assert ut.export_newick(tree.root) == before
+    assert ut.check_integrity(tree)
 
 
 def test_infer_protein():
