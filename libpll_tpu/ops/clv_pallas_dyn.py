@@ -70,6 +70,7 @@ class DynSchedule:
     chunk: int      # ops per grid step (kernel body size)
     seg_offsets: Tuple[int, ...]  # segment-major inner row offsets
     loc_of: dict    # level-major inner row -> (segment, local)
+    min_r_exp: int = 0  # export-table row floor (table-swap envelopes)
 
     def inner_row(self, level_major_inner_row: int) -> int:
         s, l = self.loc_of[level_major_inner_row]
@@ -99,8 +100,18 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
                        itemsize: int = 4, block_sites: int = 128,
                        max_rows: Optional[int] = None,
                        chunk: Optional[int] = None,
-                       ensure_rows: Sequence[int] = ()) -> DynSchedule:
-    """Segment (via clv_pallas_seg) and pad to one uniform kernel shape."""
+                       ensure_rows: Sequence[int] = (),
+                       min_r_tip: int = 0, min_r_imp: int = 0,
+                       min_r_loc: int = 0, min_segments: int = 0,
+                       min_r_exp: int = 0) -> DynSchedule:
+    """Segment (via clv_pallas_seg) and pad to one uniform kernel shape.
+
+    The ``min_*`` floors pin the padded envelope across topologies: two
+    trees built with the same floors (large enough for both) produce
+    schedules whose kernels share every compiled shape, so a topology move
+    is a pure table swap (see :func:`dyn_swap_args`).  ``min_segments``
+    pads with inert all-trash segments *before* the final (root) segment.
+    """
     cs = rate_cats * states
     if chunk is None:
         chunk = _pick_chunk(states, rate_cats, block_sites, itemsize)
@@ -111,9 +122,9 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
                                    max_rows=max_rows,
                                    ensure_rows=ensure_rows)
     tips, n_inner = seg.tips, seg.n_inner
-    r_tip = max(max(len(s.tip_globals) for s in seg.segments), 1)
-    r_imp = max(max(len(s.imports) for s in seg.segments), 1)
-    r_loc_real = max(s.n_local for s in seg.segments)
+    r_tip = max(max(len(s.tip_globals) for s in seg.segments), 1, min_r_tip)
+    r_imp = max(max(len(s.imports) for s in seg.segments), 1, min_r_imp)
+    r_loc_real = max(max(s.n_local for s in seg.segments), min_r_loc)
     n_chunks = -(-r_loc_real // chunk)
     r_loc = n_chunks * chunk
 
@@ -142,19 +153,22 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
             return src[1]
         return sloc0 + src[1]
 
-    dsegs: List[DynSegment] = []
-    offsets: List[int] = []
-    acc = 0
-    for s in seg.segments:
-        n_pad = r_loc
-        table = np.zeros((n_pad, 6), np.int32)
-        m_ops = np.zeros((n_pad, 2), np.int32)
+    def pad_table():
+        table = np.zeros((r_loc, 6), np.int32)
+        m_ops = np.zeros((r_loc, 2), np.int32)
         # pad entries: read/write trash rows, never scale
         table[:, 0] = trash_state
         table[:, 1] = trash_state
         table[:, 2] = trash_state
         table[:, 3] = trash_scal
         table[:, 4] = trash_scal
+        return table, m_ops
+
+    dsegs: List[DynSegment] = []
+    offsets: List[int] = []
+    acc = 0
+    for s in seg.segments:
+        table, m_ops = pad_table()
         for (lp, src1, m1, src2, m2, sr1, sr2, has) in s.ops:
             table[lp] = (loc0 + lp, s_state(src1), s_state(src2),
                          s_scal(sr1), s_scal(sr2), int(has))
@@ -166,8 +180,24 @@ def build_dyn_schedule(schedule, *, rate_cats: int, states: int,
         acc += s.n_local
     assert acc == n_inner
 
+    loc_of = dict(seg.loc_of)
+    n_pad_segs = min_segments - len(dsegs)
+    if n_pad_segs > 0:
+        # inert segments go just before the final (root) segment: only the
+        # root's own index shifts; imports always reference earlier (leaf)
+        # segments, whose indices are unchanged
+        old_last = len(dsegs) - 1
+        pads = [DynSegment(*pad_table(), np.zeros(0, np.int64), (), 0)
+                for _ in range(n_pad_segs)]
+        dsegs[old_last:old_last] = pads
+        offsets[old_last:old_last] = [offsets[old_last]] * n_pad_segs
+        loc_of = {k: ((old_last + n_pad_segs, l) if s == old_last
+                      else (s, l))
+                  for k, (s, l) in loc_of.items()}
+
     return DynSchedule(tuple(dsegs), tips, n_inner, r_tip, r_imp, r_loc,
-                       n_chunks, chunk, tuple(offsets), dict(seg.loc_of))
+                       n_chunks, chunk, tuple(offsets), loc_of,
+                       min_r_exp)
 
 
 def pack_tips_dyn(tips_clv: jax.Array, dyn: DynSchedule,
@@ -555,17 +585,14 @@ def _export_tables(dyn: DynSchedule):
     trash_state = loc0 + dyn.r_loc
     trash_scal = sloc0 + dyn.r_loc + 1
 
-    per_seg_exports = []
-    for s in dyn.segments:
-        exports = sorted({l for (a, b) in _all_imports(dyn) if False})
-        per_seg_exports.append(exports)
     # exports = locals referenced by later segments' imports (+ the final
     # segment's eval rows are accessed as locals there, not via exports)
     referenced = {}
     for si, s in enumerate(dyn.segments):
         for (a, b) in s.imports:
             referenced.setdefault(a, set()).add(b)
-    r_exp = max(max((len(v) for v in referenced.values()), default=0), 1)
+    r_exp = max(max((len(v) for v in referenced.values()), default=0), 1,
+                dyn.min_r_exp)
     tables, pos_of = [], {}
     for si, s in enumerate(dyn.segments):
         exports = sorted(referenced.get(si, set()))
@@ -606,27 +633,52 @@ def dyn_identity_tips(dyn: DynSchedule) -> DynSchedule:
                      s.imports, s.n_local)
     return DynSchedule((seg,), dyn.tips, dyn.n_inner, dyn.r_tip, dyn.r_imp,
                        dyn.r_loc, dyn.n_chunks, dyn.chunk, dyn.seg_offsets,
-                       dyn.loc_of)
+                       dyn.loc_of, dyn.min_r_exp)
 
 
 def dyn_eval_locs(dyn: DynSchedule, parent_lm: int, child_lm: int,
                   scale_mode: int = SCALE_PER_SITE) -> np.ndarray:
     """(p_state, c_state, p_scal, c_scal) int32 for make_dyn_score's
     ``dynamic_edge`` mode — the evaluation-edge location *as data*.
-    Tip references assume the identity remap of :func:`dyn_identity_tips`."""
+
+    Single-segment schedules: tip references assume the identity remap of
+    :func:`dyn_identity_tips`.  Multi-segment schedules: rows living in a
+    non-final segment must reach the root segment through its import list
+    or its tip slab — build the schedule with
+    ``ensure_rows=[parent_lm, child_lm]`` (clv_pallas_seg routes them via
+    the export/import tables) and wire imports as data with
+    :func:`dyn_swap_args` so topology moves stay zero-retrace."""
     # scal indices are in node units; the kernel applies its srows factor
     loc0 = dyn.r_tip + dyn.r_imp
     sloc0 = dyn.r_imp
     n_scal = sloc0 + dyn.r_loc + 2
     last = len(dyn.segments) - 1
+    fin = dyn.segments[last]
+    single = len(dyn.segments) == 1
 
     def locate(lm):
         if lm < dyn.tips:
-            return lm, n_scal - 2  # identity tip row; dummy (zero) scaler
+            if single:
+                # identity tip row; dummy (zero) scaler
+                return lm, n_scal - 2
+            tg = list(fin.tip_globals)
+            if lm not in tg:
+                raise ValueError(
+                    f"eval tip {lm} not in the final segment's slab — "
+                    "build the schedule with ensure_rows")
+            return tg.index(lm), n_scal - 2
         sseg, sloc = dyn.loc_of[lm - dyn.tips]
-        if sseg != last:
-            raise ValueError("eval row must live in the final segment")
-        return loc0 + sloc, sloc0 + sloc
+        if sseg == last:
+            return loc0 + sloc, sloc0 + sloc
+        # non-final row: the ROOT segment's import list position (NOT the
+        # exporter's export-table position — those coincide only on chains)
+        try:
+            pos = list(fin.imports).index((sseg, sloc))
+        except ValueError:
+            raise ValueError(
+                f"eval row {lm} lives in segment {sseg}, not imported by "
+                "the final segment — build the schedule with ensure_rows")
+        return dyn.r_tip + pos, pos  # import rows
 
     p_state, p_scal = locate(parent_lm)
     c_state, c_scal = locate(child_lm)
@@ -933,7 +985,13 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
 
     def score(tip_slabs, tables, m_gathers, exp_tables, pmatrix,
               weight_vec, pattern_weights, inv_add=None, eval_locs=None,
-              edge_matrix_idx=None):
+              edge_matrix_idx=None, imp_src=None):
+        """``imp_src`` (optional, [n_segments, r_imp, 2] int32 of (source
+        segment, export position) from :func:`dyn_swap_args`): wire the
+        inter-segment imports from DATA instead of this closure's schedule
+        — required when swapping in another topology's tables on a
+        multi-segment schedule (the closure's import positions would be
+        stale)."""
         assert (inv_add is not None) == use_pinv
         assert (eval_locs is not None) == dynamic_edge
         dtype = pmatrix.dtype
@@ -949,7 +1007,15 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
         for si, s in enumerate(dyn.segments):
             coeff_ops = coeff[m_gathers[si]]
             coeff_tiles, _ = _pack_op_coeff(coeff_ops, w, chunk_sz)
-            if s.imports:
+            if imp_src is not None and si > 0:
+                stack = jnp.stack(seg_exp)     # [si, r_exp, cs, sites]
+                sstack = jnp.stack(seg_exp_scal).reshape(
+                    si, r_exp, srows, sites)
+                src = imp_src[si]              # [r_imp, 2]
+                imp = stack[src[:, 0], src[:, 1]]
+                imp_scal = sstack[src[:, 0], src[:, 1]].reshape(
+                    r_imp * srows, sites)
+            elif imp_src is None and s.imports:
                 imp = jnp.concatenate(
                     [seg_exp[a][exp_pos[(a, b)]][None]
                      for (a, b) in s.imports], axis=0)
@@ -991,3 +1057,25 @@ def dyn_score_args(dyn: DynSchedule):
     tables, m_gathers = dyn_runtime_args(dyn)
     exp_tabs_np, _, _ = _export_tables(dyn)
     return tables, m_gathers, [jnp.asarray(x) for x in exp_tabs_np]
+
+
+def dyn_swap_args(dyn: DynSchedule):
+    """(tables, m_gathers, exp_tables, imp_src) for zero-retrace table
+    swaps on MULTI-segment schedules: the inter-segment import wiring is
+    returned as DATA ([n_segments, r_imp, 2] int32 of (source segment,
+    export position)) so another topology's tables can be swapped into an
+    already-compiled make_dyn_score without touching its closure.  Both
+    topologies must be built with matching envelope floors
+    (``min_r_tip/min_r_imp/min_segments/min_r_exp`` on
+    :func:`build_dyn_schedule`) and, for the evaluation edge, with
+    ``ensure_rows`` so :func:`dyn_eval_locs` can route it (reference
+    counterpart: full re-evaluation after `pll_utree_spr`,
+    src/utree_moves.c:119-253)."""
+    tables, m_gathers = dyn_runtime_args(dyn)
+    exp_tabs_np, pos_of, _ = _export_tables(dyn)
+    src = np.zeros((len(dyn.segments), dyn.r_imp, 2), np.int32)
+    for si, s in enumerate(dyn.segments):
+        for k, (a, b) in enumerate(s.imports):
+            src[si, k] = (a, pos_of[(a, b)])
+    return (tables, m_gathers, [jnp.asarray(x) for x in exp_tabs_np],
+            jnp.asarray(src))
