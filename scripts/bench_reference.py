@@ -10,7 +10,12 @@ ops schedule over `sites` random DNA sites with Γ4 and per-site scaling
 (float64 — the reference has no other precision), and times
 pll_update_partials over the 62-op schedule.
 
-Usage: python scripts/bench_reference.py [sites] [reps]
+With ``states=20`` the same harness measures the protein denominator: the
+reference's dedicated 20-state AVX2 kernels
+(`src/core_partials_avx2.c:pll_core_update_partial_ii_20x20_avx2`, decls
+`pll.h:1239-1264`) under the LG model (`pll_aa_rates_lg`/`pll_aa_freqs_lg`).
+
+Usage: python scripts/bench_reference.py [sites] [reps] [states] [tips]
 """
 
 import ctypes as ct
@@ -24,7 +29,9 @@ import numpy as np
 
 SITES = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-TIPS, CATS = 64, 4
+STATES = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+TIPS = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+CATS = 4
 REF = "/root/reference/src"
 BUILD = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".refbuild")
@@ -82,22 +89,28 @@ def main():
     lib.pll_compute_edge_loglikelihood.argtypes = [
         ct.c_void_p, ct.c_uint, ct.c_uint, ct.c_uint, ct.c_uint, ct.c_uint,
         ct.POINTER(ct.c_uint), ct.POINTER(ct.c_double)]
-    nt_map = (ct.c_uint * 256).in_dll(lib, "pll_map_nt")
+    charmap = (ct.c_uint * 256).in_dll(
+        lib, "pll_map_nt" if STATES == 4 else "pll_map_aa")
 
-    part = lib.pll_partition_create(TIPS, TIPS - 2, 4, SITES, 1,
+    part = lib.pll_partition_create(TIPS, TIPS - 2, STATES, SITES, 1,
                                     2 * TIPS - 3, CATS, TIPS - 2,
                                     PLL_ATTRIB_ARCH_AVX2)
     assert part, "partition create failed (AVX2 unsupported?)"
 
     rng = np.random.default_rng(0)
-    alpha = np.frombuffer(b"ACGT", np.uint8)
+    letters = b"ACGT" if STATES == 4 else b"ARNDCQEGHILKMFPSTWYV"
+    alpha = np.frombuffer(letters, np.uint8)
     for i in range(TIPS):
-        seq = alpha[rng.integers(0, 4, SITES)].tobytes()
-        assert lib.pll_set_tip_states(part, i, nt_map, seq)
+        seq = alpha[rng.integers(0, STATES, SITES)].tobytes()
+        assert lib.pll_set_tip_states(part, i, charmap, seq)
 
-    freqs = (ct.c_double * 4)(0.3, 0.25, 0.25, 0.2)
+    if STATES == 4:
+        freqs = (ct.c_double * 4)(0.3, 0.25, 0.25, 0.2)
+        subst = (ct.c_double * 6)(1.2, 2.4, 0.9, 1.1, 3.0, 1.0)
+    else:  # LG (the reference's own published tables)
+        freqs = (ct.c_double * 20).in_dll(lib, "pll_aa_freqs_lg")
+        subst = (ct.c_double * 190).in_dll(lib, "pll_aa_rates_lg")
     lib.pll_set_frequencies(part, 0, freqs)
-    subst = (ct.c_double * 6)(1.2, 2.4, 0.9, 1.1, 3.0, 1.0)
     lib.pll_set_subst_params(part, 0, subst)
     rates = (ct.c_double * CATS)()
     lib.pll_compute_gamma_cats(1.0, CATS, rates, 0)
@@ -130,7 +143,7 @@ def main():
     dt = (time.perf_counter() - t0) / REPS
     updates = (TIPS - 2) * CATS * SITES
     print(f"reference AVX2 1-core: {TIPS} taxa x {SITES} sites x {CATS} "
-          f"cats, per-site scaling")
+          f"cats x {STATES} states, per-site scaling")
     print(f"  update_partials: {dt * 1e3:.1f} ms  "
           f"({updates / dt / 1e6:.1f}e6 CLV site-rate updates/s)")
 

@@ -70,6 +70,46 @@ def test_f32_score_accuracy_budget(newick_fn, tips, sites):
     assert abs(got_u - want) <= budget, (got_u, want, budget)
 
 
+def test_f32_score_accuracy_budget_per_rate():
+    """Budget row for SCALE_PER_RATE (the reference's ≥10k-taxa mode,
+    core_likelihood.c:916-941): deep caterpillar so the per-rate counters
+    actually diverge across categories.  The fused Pallas scorers are
+    per-site-only by deliberate scope (clv_pallas.make_fused_edge_score),
+    so the f32 vehicle here is the XLA forward path — the path per-rate
+    configurations actually run."""
+    from libpll_tpu.utils.constants import SCALE_PER_RATE
+
+    tips, sites = 48, 512
+    topo, model, pmatrix, clv, scalers = _build(
+        _caterpillar_newick(tips), sites=sites, scale_mode=SCALE_PER_RATE)
+
+    fwd = ev.make_forward(topo)
+    want = float(fwd(_f64_model(model), clv.astype(jnp.float64), scalers)[0])
+    got = float(fwd(model, clv, scalers)[0])
+
+    budget = ACC_REL * abs(want) + ACC_ABS
+    assert abs(got - want) <= budget, (got, want, budget)
+
+
+def test_f32_score_accuracy_budget_protein():
+    """Budget row for the 20-state MXU block-diag path (the protein half of
+    the model zoo; reference counterpart core_partials_avx2.c 20x20)."""
+    tips, sites, states = 16, 256, 20
+    rng = np.random.default_rng(20)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(tips, rng), sites=sites, states=states, seed=20)
+    t = topo.schedule.tips
+
+    fwd = ev.make_forward(topo)
+    want = float(fwd(_f64_model(model), clv.astype(jnp.float64), scalers)[0])
+
+    score = ev.make_score(topo, 4, states, impl="mxu", interpret=True)
+    got = float(score(model, cp.pack_tips(clv[:t], "mxu")))
+
+    budget = ACC_REL * abs(want) + ACC_ABS
+    assert abs(got - want) <= budget, (got, want, budget)
+
+
 def test_block_partial_fold_is_f64_under_x64():
     """The global site fold must run in f64 when x64 is enabled — the
     f32-accumulator ulp loss would otherwise dominate at |logL| ~ 1e7."""
