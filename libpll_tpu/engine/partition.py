@@ -112,7 +112,11 @@ class Partition:
         self.sites_alloc = sites + (states if asc_bias_alloc else 0)
         L, C, S = self.sites_alloc, rate_cats, states
 
-        self.clv = jnp.zeros((self.nodes, C, S, L), dtype=dtype)
+        self._clv = jnp.zeros((self.nodes, C, S, L), dtype=dtype)
+        # tip rows staged host-side and flushed in ONE scatter on first
+        # read: a per-tip .at[i].set() copies the whole tensor, turning
+        # giant-tree setup O(nodes²) (274 GB of memcpy at 2048 taxa)
+        self._staged_tips: dict = {}
         if self.scale_mode == SCALE_PER_RATE:
             self.scalers = jnp.zeros((scale_buffers + 1, C, L), dtype=jnp.int32)
         elif self.scale_mode == SCALE_PER_SITE:
@@ -174,15 +178,34 @@ class Partition:
 
     def _install_tip_clv(self, tip_index: int, clv_sl: np.ndarray) -> None:
         """clv_sl: [S, sites]; broadcasts over rate cats, appends asc
-        pseudo-sites (identity states) when allocated."""
-        L, C, S = self.sites_alloc, self.rate_cats, self.states
-        full = np.zeros((S, L))
+        pseudo-sites (identity states) when allocated.  Staged host-side;
+        all staged tips land in one scatter at the next ``clv`` read."""
+        L, S = self.sites_alloc, self.states
+        full = np.zeros((S, L), dtype=np.dtype(self.dtype))
         full[:, :self.sites] = clv_sl
         if self.asc_bias_alloc:
             full[:, self.sites:] = np.eye(S)
-        tile = np.broadcast_to(full[None], (C, S, L))
-        self.clv = self.clv.at[tip_index].set(
-            jnp.asarray(tile, dtype=self.dtype))
+        self._staged_tips[tip_index] = full
+
+    def _flush_tips(self) -> None:
+        if not self._staged_tips:
+            return
+        staged, self._staged_tips = self._staged_tips, {}
+        idx = np.fromiter(staged.keys(), np.int64, len(staged))
+        tiles = jnp.asarray(np.stack([staged[i] for i in idx]),
+                            dtype=self.dtype)          # [k, S, L]
+        tiles = jnp.broadcast_to(
+            tiles[:, None], (len(idx), self.rate_cats) + tiles.shape[1:])
+        self._clv = self._clv.at[jnp.asarray(idx)].set(tiles)
+
+    @property
+    def clv(self) -> jnp.ndarray:
+        self._flush_tips()
+        return self._clv
+
+    @clv.setter
+    def clv(self, value) -> None:
+        self._clv = value
 
     def set_subst_params(self, params_index: int, params) -> None:
         p = np.asarray(params, dtype=np.float64)
