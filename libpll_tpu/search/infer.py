@@ -20,6 +20,7 @@ number of compilations regardless of how many topologies it visits.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -45,6 +46,7 @@ class InferResult:
     start_parsimony_score: int
     rounds: int
     trajectory: List[float] = field(default_factory=list)
+    timings: Dict[str, float] = field(default_factory=dict)
 
 
 def infer_tree(sequences: Dict[str, str], *, states: int = 4,
@@ -73,16 +75,21 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     cmap = charmap if charmap is not None else (
         maps.pll_map_nt if states == 4 else maps.pll_map_aa)
 
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
     weights = None
     if compress:
         seqs, weights = compress_site_patterns(seqs, cmap)
     sites = len(seqs[0])
+    timings["compress"] = time.perf_counter() - t0
 
     # 1. parsimony starting tree
+    t0 = time.perf_counter()
     pars = FastParsimony.from_sequences(
         seqs, cmap, states=states,
         pattern_weights=weights if weights is not None else None)
     tree, pscore = fastparsimony_stepwise([pars], labels, seed)
+    timings["stepwise"] = time.perf_counter() - t0
     for n in tree.nodes:  # stepwise emits zero-length branches
         for m in ([n] if n.is_tip else n.ring()):
             if m.length == 0.0:
@@ -90,6 +97,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
             m.back.length = m.length
 
     # 2. likelihood engine
+    t0 = time.perf_counter()
     part = Partition(tips, tips - 2, states, sites, 1, 2 * tips - 3,
                      rate_cats, tips - 2, dtype=dtype)
     order = {n.label: n.clv_index for n in ut.query_tipnodes(tree)}
@@ -113,6 +121,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     bl_program = blopt.make_sweep_program(part.nodes, part.scale_buffers,
                                           bl_cap, sites=part.sites,
                                           scale_mode=part.scale_mode)
+    timings["setup"] = time.perf_counter() - t0
 
     def run_blopt():
         # capacity overflow (a re-orientation subset outgrew the envelope)
@@ -133,7 +142,10 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                     part.nodes, part.scale_buffers, bl_cap,
                     sites=part.sites, scale_mode=part.scale_mode)
 
+    t0 = time.perf_counter()
     logl, _ = run_blopt()
+    timings["blopt"] = time.perf_counter() - t0
+    timings["spr"] = 0.0
     trajectory = [logl]
     scorer = None
     # a radius-r candidate's dirty path is bounded by the prune->regraft
@@ -143,6 +155,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     cap = 1 << (2 * radius + 8 - 1).bit_length()
     rounds = 0
     for rounds in range(1, max_rounds + 1):
+        t0 = time.perf_counter()
         if scorer is None:
             scorer = make_round_scorer(part, cap)
         try:
@@ -160,7 +173,10 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                             min_delta=min_delta)
         improved = res.improved
         logl = res.best_logl
+        timings["spr"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         new_logl, _ = run_blopt()
+        timings["blopt"] += time.perf_counter() - t0
         improved |= new_logl > logl + min_delta
         logl = max(logl, new_logl)
         trajectory.append(logl)
@@ -168,4 +184,4 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
             break
 
     return InferResult(tree, part, float(logl), int(pscore), rounds,
-                       trajectory)
+                       trajectory, timings)

@@ -112,8 +112,24 @@ class Parsimony:
         self.score_matrix = jnp.asarray(sm)
         self.inf = float(sm.max()) + 1.0
         n = tips + score_buffers
-        self.sbuffer = jnp.zeros((n, states, sites))
+        self._sbuffer = jnp.zeros((n, states, sites))
+        # tip cost rows staged host-side, flushed in one scatter on first
+        # read (a per-tip .at[i].set copies the whole buffer: O(n²) setup)
+        self._staged: dict = {}
         self.ancestral: dict = {}
+
+    @property
+    def sbuffer(self) -> jnp.ndarray:
+        if self._staged:
+            staged, self._staged = self._staged, {}
+            idx = np.fromiter(staged.keys(), np.int64, len(staged))
+            tiles = jnp.asarray(np.stack([staged[i] for i in idx]))
+            self._sbuffer = self._sbuffer.at[jnp.asarray(idx)].set(tiles)
+        return self._sbuffer
+
+    @sbuffer.setter
+    def sbuffer(self, value) -> None:
+        self._sbuffer = value
 
     def set_sequence(self, tip_index: int, charmap: np.ndarray,
                      sequence: str) -> None:
@@ -123,7 +139,7 @@ class Parsimony:
         masks = encode_sequence(sequence, charmap)
         bits = (masks[:, None] >> np.arange(self.states)[None, :]) & 1
         cost = np.where(bits.astype(bool), 0.0, self.inf).T  # [S, L]
-        self.sbuffer = self.sbuffer.at[tip_index].set(jnp.asarray(cost))
+        self._staged[tip_index] = cost
 
     def build(self, buildops) -> float:
         """Post-order DP sweep; returns the score at the last op's parent."""

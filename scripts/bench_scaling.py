@@ -64,6 +64,65 @@ def time_mesh(n_dev):
     return float(logl), dt * 1e3
 
 
+def giant():
+    """The BASELINE.json giant target (10 240 taxa × 1 M sites, ≥2 hosts)
+    validated end to end through the data-driven pattern-tip scorer under
+    shard_map — the exact sharded program of that target.
+
+    CPU (virtual 8-device mesh): shard-count invariance at the giant
+    *structure* — the same 10 240-taxon data (total sites = 8 × one
+    128-column kernel block) scored on a 4-device and an 8-device mesh
+    must produce identical logL (interpret mode; wall-clock is a
+    semantics check, not a perf number).
+
+    TPU (`bench_scaling.py tpu giant`): the per-device *memory plan* —
+    one chip runs 131 072 sites = the exact 1M/8 per-device share of the
+    target, and live HBM-in-use is printed (nibble tip slabs dominate:
+    10 240 × 131 072 × 0.5 B ≈ 0.67 GiB/device).
+    """
+    from libpll_tpu.engine.evaluate import make_score_unbounded_sharded
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tips = 10240
+    mesh_sizes = (1,) if on_tpu else (4, 8)
+    sites = 131072 if on_tpu else 128 * 8
+
+    topo, model0, clv, _ = _build_flagship(tips, sites)
+    t = topo.schedule.tips
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
+    del clv, clv_np
+
+    results = []
+    for n in mesh_sizes:
+        if n > len(jax.devices()):
+            break
+        devs = np.asarray(jax.devices()[:n])
+        mesh = Mesh(devs, ("sites",))
+        vec = NamedSharding(mesh, P("sites"))
+        repl = NamedSharding(mesh, P())
+        model = {k: jax.device_put(
+            v, vec if k in ("pattern_weights", "invariant") else repl)
+            for k, v in model0.items()}
+        score = make_score_unbounded_sharded(topo, 4, 4, masks, mesh,
+                                             interpret=not on_tpu)
+        t0 = time.perf_counter()
+        s = float(score(model))
+        dt = time.perf_counter() - t0
+        results.append(s)
+        line = (f"giant {tips} x {sites} on {n} device(s): "
+                f"logL={s:.3f} ({dt:.1f}s incl. compile)")
+        if on_tpu:
+            stats = jax.devices()[0].memory_stats() or {}
+            used = stats.get("bytes_in_use", 0)
+            line += f"  HBM in use: {used / 2**30:.2f} GiB"
+        print(line, flush=True)
+    if len(results) > 1:
+        assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), results
+        print("mesh-size invariance: OK", flush=True)
+
+
 def main():
     base = None
     print(f"config: {TIPS} taxa x {SITES} sites x 4 rate cats, "
@@ -81,4 +140,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "giant" in sys.argv[1:]:
+        giant()
+    else:
+        main()
