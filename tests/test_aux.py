@@ -157,3 +157,27 @@ def test_rtree_show_ascii():
     for lab in "ABCDE":
         assert lab + ":" in text
     assert text.splitlines()[0] == "root"
+
+
+def test_staged_tip_flush_interleaving():
+    """Tip rows stage host-side and flush in one scatter at the next clv
+    read; interleaved set/read/set/read must behave exactly like the old
+    per-tip immediate scatter."""
+    import numpy as np
+    import libpll_tpu as pll
+    from libpll_tpu.io import maps
+
+    part = pll.Partition(4, 2, 4, 8, 1, 5, 2, 2)
+    part.set_tip_states(0, maps.pll_map_nt, "ACGTACGT")
+    clv1 = np.asarray(part.clv)  # flushes tip 0
+    assert clv1[0, 0, 0, 0] == 1.0 and clv1[0, 0, 1, 0] == 0.0
+    assert clv1[1].sum() == 0  # tip 1 untouched
+
+    part.set_tip_states(1, maps.pll_map_nt, "TTTTTTTT")
+    part.set_tip_states(0, maps.pll_map_nt, "CCCCCCCC")  # overwrite tip 0
+    clv2 = np.asarray(part.clv)
+    assert clv2[0, 0, 1, 0] == 1.0 and clv2[0, 0, 0, 0] == 0.0
+    assert clv2[1, 1, 3, 7] == 1.0
+    # ambiguity code: N decodes to all-ones
+    part.set_tip_states(2, maps.pll_map_nt, "NNNNNNNN")
+    assert np.asarray(part.clv)[2].min() == 1.0
