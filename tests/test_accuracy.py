@@ -118,3 +118,52 @@ def test_block_partial_fold_is_f64_under_x64():
     assert total.dtype == jnp.float64
     np.testing.assert_allclose(float(total), 4096 * float(parts[0]),
                                rtol=1e-12)
+
+
+def test_f32_accuracy_budget_deep_partition():
+    """Deep-tree budget row through the Partition API (the giant-tree
+    path): 1024-taxon caterpillar, f32 vs f64, both scaling modes.
+    BASELINE.md round 3 extends this probe to 4096 taxa (error there is
+    4% of budget)."""
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("needs x64 for the f64 truth")
+    import libpll_tpu as pll
+    from libpll_tpu.io import maps as m
+
+    def caterpillar(tips):
+        s = "(t0:0.1,t1:0.1)"
+        for i in range(2, tips - 2):
+            s = f"({s}:0.1,t{i}:0.1)"
+        return f"({s}:0.1,t{tips - 2}:0.1,t{tips - 1}:0.1);"
+
+    from libpll_tpu.tree import utree as ut
+    import sys
+    sys.setrecursionlimit(200000)
+
+    tips, sites = 1024, 128
+    rng = np.random.default_rng(7)
+    tree = ut.parse_newick_string(caterpillar(tips))
+    root = tree.nodes[-1]
+    ops, blens, midx = ut.create_operations(ut.traverse(root))
+    seqs = rng.integers(0, 4, (tips, sites))
+    alpha = np.array(list("ACGT"))
+
+    for scaling in ("site", "rate"):
+        logls = {}
+        for dtype in (jnp.float64, jnp.float32):
+            part = pll.Partition(tips, tips - 2, 4, sites, 1, 2 * tips - 3,
+                                 4, tips - 2, scaling=scaling, dtype=dtype)
+            for i in range(tips):
+                part.set_tip_states(i, m.pll_map_nt, "".join(alpha[seqs[i]]))
+            part.set_frequencies(0, np.array([0.3, 0.25, 0.2, 0.25]))
+            part.set_subst_params(0, np.array([1.2, 2.1, 0.7, 1.4, 3.3, 1.0]))
+            part.set_category_rates(np.asarray(pll.compute_gamma_cats(0.8, 4)))
+            part.update_prob_matrices([0] * 4, midx, blens)
+            part.update_partials(ops)
+            logls[dtype] = float(part.compute_edge_loglikelihood(
+                root.clv_index, root.scaler_index, root.back.clv_index,
+                root.back.scaler_index, root.pmatrix_index, [0] * 4))
+        want, got = logls[jnp.float64], logls[jnp.float32]
+        budget = ACC_REL * abs(want) + ACC_ABS
+        assert abs(got - want) <= budget, (scaling, got, want, budget)
