@@ -69,35 +69,35 @@ def giant():
     validated end to end through the data-driven pattern-tip scorer under
     shard_map — the exact sharded program of that target.
 
-    CPU (virtual 8-device mesh): shard-count invariance at the giant
-    *structure* — the same 10 240-taxon data (total sites = 8 × one
-    128-column kernel block) scored on a 4-device and an 8-device mesh
-    must produce identical logL (interpret mode; wall-clock is a
-    semantics check, not a perf number).
+    CPU (virtual 8-device mesh), two checks:
+      (a) the full 10 240-taxon structure through the *sharded XLA
+          forward* — 1 024 sites over 4- and 8-device meshes must produce
+          identical logL (exercises the real sharding/psum machinery at
+          the target's tree scale; cheap, no interpret);
+      (b) the sharded *dyn pattern-tip scorer* (the exact program of the
+          target) at 2 048 taxa — interpret-mode python cost scales with
+          devices × ops, so the structure check caps taxa here; the
+          kernel itself is schedule-as-data and shape-independent beyond
+          segment count.
 
     TPU (`bench_scaling.py tpu giant`): the per-device *memory plan* —
-    one chip runs 131 072 sites = the exact 1M/8 per-device share of the
-    target, and live HBM-in-use is printed (nibble tip slabs dominate:
-    10 240 × 131 072 × 0.5 B ≈ 0.67 GiB/device).
+    one chip runs the dyn scorer at 10 240 taxa × 131 072 sites = the
+    exact 1M/8 per-device share of the target, and live HBM-in-use is
+    printed (nibble tip slabs dominate: 10 240 × 131 072 × 0.5 B ≈
+    0.67 GiB/device).
     """
-    from libpll_tpu.engine.evaluate import make_score_unbounded_sharded
+    from libpll_tpu.engine.evaluate import (make_forward,
+                                            make_score_unbounded_sharded)
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    tips = 10240
-    mesh_sizes = (1,) if on_tpu else (4, 8)
-    sites = 131072 if on_tpu else 128 * 8
 
-    topo, model0, clv, _ = _build_flagship(tips, sites)
-    t = topo.schedule.tips
-    clv_np = np.asarray(clv[:t])
-    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
-             << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
-    del clv, clv_np
+    def masks_of(topo, clv):
+        t = topo.schedule.tips
+        clv_np = np.asarray(clv[:t])
+        return ((clv_np[:, 0] > 0).astype(np.uint32)
+                << np.arange(4, dtype=np.uint32)[None, :, None]).sum(1)
 
-    results = []
-    for n in mesh_sizes:
-        if n > len(jax.devices()):
-            break
+    def run_sharded_dyn(topo, model0, masks, n):
         devs = np.asarray(jax.devices()[:n])
         mesh = Mesh(devs, ("sites",))
         vec = NamedSharding(mesh, P("sites"))
@@ -109,18 +109,61 @@ def giant():
                                              interpret=not on_tpu)
         t0 = time.perf_counter()
         s = float(score(model))
-        dt = time.perf_counter() - t0
+        return s, time.perf_counter() - t0
+
+    if on_tpu:
+        tips, sites = 10240, 131072
+        topo, model0, clv, _ = _build_flagship(tips, sites)
+        masks = masks_of(topo, clv)
+        del clv
+        s, dt = run_sharded_dyn(topo, model0, masks, 1)
+        stats = jax.devices()[0].memory_stats() or {}
+        print(f"giant {tips} x {sites} (the 1M/8 per-device share): "
+              f"logL={s:.3f} ({dt:.1f}s incl. compile)  HBM in use: "
+              f"{stats.get('bytes_in_use', 0) / 2**30:.2f} GiB", flush=True)
+        return
+
+    # (a) 10 240-taxon sharded XLA forward, mesh 4 vs 8, same data
+    tips, sites = 10240, 1024
+    topo, model0, clv, scalers = _build_flagship(tips, sites)
+    results = []
+    for n in (4, 8):
+        devs = np.asarray(jax.devices()[:n])
+        mesh = Mesh(devs, ("sites",))
+        shard = NamedSharding(mesh, P(*([None] * 3), "sites"))
+        shard2 = NamedSharding(mesh, P(None, "sites"))
+        vec = NamedSharding(mesh, P("sites"))
+        repl = NamedSharding(mesh, P())
+        clv_s = jax.device_put(clv, shard)
+        sc_s = jax.device_put(scalers, shard2)
+        model = {k: jax.device_put(
+            v, vec if k in ("pattern_weights", "invariant") else repl)
+            for k, v in model0.items()}
+        fwd = jax.jit(make_forward(topo))
+        t0 = time.perf_counter()
+        logl, _ = fwd(model, clv_s, sc_s)
+        s = float(logl)
         results.append(s)
-        line = (f"giant {tips} x {sites} on {n} device(s): "
-                f"logL={s:.3f} ({dt:.1f}s incl. compile)")
-        if on_tpu:
-            stats = jax.devices()[0].memory_stats() or {}
-            used = stats.get("bytes_in_use", 0)
-            line += f"  HBM in use: {used / 2**30:.2f} GiB"
-        print(line, flush=True)
-    if len(results) > 1:
-        assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), results
-        print("mesh-size invariance: OK", flush=True)
+        print(f"giant XLA forward {tips} x {sites} on {n} devices: "
+              f"logL={s:.3f} ({time.perf_counter()-t0:.1f}s incl. compile)",
+              flush=True)
+    assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), results
+    print("XLA forward mesh-size invariance at 10 240 taxa: OK", flush=True)
+    del clv, scalers
+
+    # (b) sharded dyn scorer, 2 048 taxa, mesh 4 vs 8, same data
+    tips, sites = 2048, 1024
+    topo, model0, clv, _ = _build_flagship(tips, sites)
+    masks = masks_of(topo, clv)
+    del clv
+    results = []
+    for n in (4, 8):
+        s, dt = run_sharded_dyn(topo, model0, masks, n)
+        results.append(s)
+        print(f"giant dyn score {tips} x {sites} on {n} devices: "
+              f"logL={s:.3f} ({dt:.1f}s incl. compile)", flush=True)
+    assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), results
+    print("dyn-scorer mesh-size invariance: OK", flush=True)
 
 
 def main():
