@@ -287,7 +287,8 @@ def _pinv_score_inputs(model, impl, dtype):
 
 def make_score(topo: EvalTopology, rate_cats: int, states: int,
                impl: str = "auto", use_pinv: bool = False,
-               tip_encoding: str = "clv", interpret: bool = False):
+               tip_encoding: str = "clv", mxu_precision: str = "highest",
+               interpret: bool = False):
     """Tree-search scoring fast path: P-matrices → fused in-VMEM sweep with
     the edge log-likelihood folded into the kernel (inner CLVs never touch
     HBM).  Scope: per-site/no scaling; +I via the linear in-kernel fold
@@ -307,7 +308,8 @@ def make_score(topo: EvalTopology, rate_cats: int, states: int,
     score_kernel = cp.make_fused_edge_score(
         topo.schedule, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, impl=impl, rate_cats=rate_cats, states=states,
-        use_pinv=use_pinv, tip_encoding=tip_encoding, interpret=interpret)
+        use_pinv=use_pinv, tip_encoding=tip_encoding,
+        mxu_precision=mxu_precision, interpret=interpret)
     asc_tail = (make_asc_tail(topo, rate_cats, states)
                 if topo.asc_mode else None)
     if impl == "auto":
@@ -400,6 +402,7 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
 
 def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
                          tip_masks, use_pinv: bool = False,
+                         mxu_precision: str = "highest",
                          interpret: bool = False):
     """Tree-search scoring for trees of any size (data-driven segmented
     kernels, O(1) compile cost) with pattern-tip storage: 0.5 byte/tip/site
@@ -436,7 +439,8 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     score_kernel = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
-        tip_encoding=enc, impl=impl, use_pinv=use_pinv, interpret=interpret)
+        tip_encoding=enc, impl=impl, use_pinv=use_pinv,
+        mxu_precision=mxu_precision, interpret=interpret)
     asc_tail = (make_asc_tail(topo, rate_cats, states)
                 if topo.asc_mode else None)
 

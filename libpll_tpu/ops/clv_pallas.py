@@ -138,9 +138,16 @@ def lane_pack_coeff(coeff: jax.Array, lane_width: int) -> jax.Array:
     return packed.reshape(g, cs, per * w)
 
 
-def make_contract(impl: str, states: int, rate_cats: int, dtype):
+def make_contract(impl: str, states: int, rate_cats: int, dtype,
+                  mxu_precision: str = "highest"):
     """In-kernel contraction: child CLV block [C*S, bl] -> parent block.
-    ``coeff_ref`` holds lane-packed tables (see lane_pack_coeff)."""
+    ``coeff_ref`` holds lane-packed tables (see lane_pack_coeff).
+
+    ``mxu_precision``: MXU pass count for the wide-alphabet dot.
+    ``"highest"`` (default) is f32-exact; ``"high"`` (bf16x3, TPU only)
+    roughly halves MXU time on the protein path, which runs at ~80% of
+    the f32-highest MXU ceiling — opt in only where the f32 accuracy
+    budget is re-validated (scripts/bench_protein.py measures both)."""
     cs = rate_cats * states
     w = coeff_lane_width(impl, states, rate_cats)
     per = max(1, 128 // w)
@@ -149,7 +156,8 @@ def make_contract(impl: str, states: int, rate_cats: int, dtype):
         g, off = m // per, (m % per) * w
         if impl == "mxu":
             return jnp.dot(coeff_ref[g, :, off:off + w], x,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                           precision=mxu_precision)
         acc = coeff_ref[g, :, off:off + 1] * x
         for d in range(1, states):
             shift = np.int32((cs - d * rate_cats) % cs)
@@ -340,6 +348,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                           block_sites: Optional[int] = None,
                           use_pinv: bool = False,
                           tip_encoding: str = "clv",
+                          mxu_precision: str = "highest",
                           interpret: bool = False):
     """Build ``score(tips_packed, pmatrix, weight_vec, pattern_weights
     [, inv_add]) -> logl`` — the tree-search scoring primitive.
@@ -420,7 +429,8 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             coeff, coeff_lane_width(impl, states, rate_cats))
         n_blocks = sites // bl
 
-        contract = make_contract(impl, states, rate_cats, dtype)
+        contract = make_contract(impl, states, rate_cats, dtype,
+                                 mxu_precision)
 
         def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, *rest):
             if use_pinv:
@@ -535,6 +545,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                      *, impl: str = "auto", rate_cats: int, states: int,
                      block_sites: Optional[int] = None,
+                     mxu_precision: str = "highest",
                      interpret: bool = False):
     """Build ``sweep(tips_packed, pmatrix) -> (inner_packed, scalers)``.
 
@@ -592,7 +603,8 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
         coeff_block = coeff.shape
         n_blocks = sites // bl
 
-        contract = make_contract(impl, states, rate_cats, dtype)
+        contract = make_contract(impl, states, rate_cats, dtype,
+                                 mxu_precision)
         srows = rate_cats if per_rate else 1  # scaler rows per node
         rate_mask_fn = make_rate_mask(impl, states, rate_cats)
 

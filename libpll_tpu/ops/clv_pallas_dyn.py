@@ -357,16 +357,20 @@ def _pack_op_coeff(coeff_ops: jax.Array, w: int, chunk: int
     return x, per
 
 
-def _dyn_contract(impl: str, states: int, rate_cats: int, w: int):
+def _dyn_contract(impl: str, states: int, rate_cats: int, w: int,
+                  mxu_precision: str = "highest"):
     """In-kernel child contraction at a static lane offset of a chunk
     coefficient tile: vpu cyclic-roll FMAs or one [cs, cs] @ [cs, bl]
-    MXU matmul (block-diagonal table)."""
+    MXU matmul (block-diagonal table).  ``mxu_precision``: see
+    clv_pallas.make_contract ("high" = bf16x3, ~2x MXU time on the
+    protein path; default f32-exact)."""
     cs = rate_cats * states
 
     def contract(coeff_ref, tile, off, x, dtype):
         if impl == "mxu":
             return jnp.dot(coeff_ref[tile, :, off:off + w], x,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                           precision=mxu_precision)
         acc = coeff_ref[tile, :, off:off + 1] * x
         for d in range(1, w):
             shift = np.int32((cs - d * rate_cats) % cs)
@@ -380,6 +384,7 @@ def _dyn_contract(impl: str, states: int, rate_cats: int, w: int):
 def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
                    rate_cats: int, states: int, block_sites: int = 128,
                    tip_encoding: str = "clv", impl: str = "auto",
+                   mxu_precision: str = "highest",
                    interpret: bool = False):
     """Build ``sweep(tip_slabs, tables, m_gathers, pmatrix) -> (inner,
     scalers)`` where ``tables``/``m_gathers`` come from
@@ -427,7 +432,7 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
     per_rate = scale_mode == SCALE_PER_RATE
     srows = rate_cats if per_rate else 1  # scaler rows per node
     rate_mask = make_rate_mask(impl, states, rate_cats)
-    contract = _dyn_contract(impl, states, rate_cats, w)
+    contract = _dyn_contract(impl, states, rate_cats, w, mxu_precision)
     decode_tips = _make_tip_decoder(tip_encoding, r_tip, rate_cats, states,
                                     impl)
 
@@ -690,6 +695,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
                    rate_cats: int, states: int, block_sites: int = 128,
                    tip_encoding: str = "chars", impl: str = "auto",
                    use_pinv: bool = False, dynamic_edge: bool = False,
+                   mxu_precision: str = "highest",
                    interpret: bool = False):
     """Tree-search scoring at unbounded tree size with O(1) compile cost:
     leaf segments keep all CLVs in VMEM scratch and export only the few
@@ -732,7 +738,7 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
     srows = rate_cats if per_rate else 1
     rate_mask = make_rate_mask(impl, states, rate_cats)
     rate_sum = make_rate_sum(impl, states, rate_cats)
-    contract = _dyn_contract(impl, states, rate_cats, w)
+    contract = _dyn_contract(impl, states, rate_cats, w, mxu_precision)
 
     exp_tabs_np, exp_pos, r_exp = _export_tables(dyn)
 
@@ -856,7 +862,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             # edge contraction with the edge matrix in its own [cs, w] tile
             if impl == "mxu":
                 termb = jnp.dot(edge_coeff_ref[0], child_row,
-                                preferred_element_type=dtype)
+                                preferred_element_type=dtype,
+                                precision=mxu_precision)
             else:
                 termb = edge_coeff_ref[0, :, 0:1] * child_row
                 for d in range(1, w):

@@ -68,10 +68,8 @@ def dense_peak(n=4096, precision="highest"):
     return 2 * n**3 / dt
 
 
-def protein_score(tips, sites, dyn):
-    from __graft_entry__ import _build_flagship  # noqa: F401  (pattern)
+def protein_score(tips, sites, dyn, precision="highest"):
     from libpll_tpu.engine import evaluate as ev
-    from libpll_tpu.ops import clv_pallas as cp
     from test_clv_pallas_seg import _build
 
     sys.path.insert(0, "tests")
@@ -86,11 +84,13 @@ def protein_score(tips, sites, dyn):
              << np.arange(20, dtype=np.uint32)[None, :, None]).sum(1)
 
     if dyn:
-        score = ev.make_score_unbounded(topo, 4, 20, masks)
+        score = ev.make_score_unbounded(topo, 4, 20, masks,
+                                        mxu_precision=precision)
         args = (model,)
     else:
         score = ev.make_score(topo, 4, 20, impl="mxu",
-                              tip_encoding="masks")
+                              tip_encoding="masks",
+                              mxu_precision=precision)
         tp = jnp.asarray(masks.astype(np.int32))
         args = (model, tp)
 
@@ -108,7 +108,7 @@ def protein_score(tips, sites, dyn):
 
     dt = timeit_chain(make_chain, model, *args[1:])
     n_updates = (t - 2) * 4 * sites
-    return dt, n_updates
+    return dt, n_updates, float(score(*args))
 
 
 def main():
@@ -129,12 +129,19 @@ def main():
 
     for tips, dyn, name in ((64, False, "fused score (bitmask tips)"),
                             (256, True, "dyn score (bitmask tips)")):
-        dt, upd = protein_score(tips, SITES, dyn)
-        rate = upd / dt
-        print(f"{name} {tips} x {SITES}: {dt*1e3:.2f} ms/eval = "
-              f"{rate/1e9:.2f}e9 updates/s = {rate*1600/1e12:.2f} Tflop/s "
-              f"useful = {rate*1600/ceil*100:.0f}% of packing ceiling",
-              flush=True)
+        logls = {}
+        for prec in ("highest", "high"):
+            dt, upd, logls[prec] = protein_score(tips, SITES, dyn, prec)
+            rate = upd / dt
+            c = ceil if prec == "highest" else 2 * ceil  # bf16x3 ~ 2x
+            print(f"{name} {tips} x {SITES} [{prec}]: {dt*1e3:.2f} ms/eval"
+                  f" = {rate/1e9:.2f}e9 updates/s = {rate*1600/1e12:.2f} "
+                  f"Tflop/s useful = {rate*1600/c*100:.0f}% of packing "
+                  f"ceiling", flush=True)
+        d = abs(logls["high"] - logls["highest"])
+        budget = 2e-6 * abs(logls["highest"]) + 5e-3
+        print(f"  |logL_high - logL_highest| = {d:.4f} "
+              f"(f32 budget at this |logL|: {budget:.3f})", flush=True)
 
 
 if __name__ == "__main__":

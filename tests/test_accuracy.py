@@ -167,3 +167,30 @@ def test_f32_accuracy_budget_deep_partition():
         want, got = logls[jnp.float64], logls[jnp.float32]
         budget = ACC_REL * abs(want) + ACC_ABS
         assert abs(got - want) <= budget, (scaling, got, want, budget)
+
+
+def test_mxu_precision_high_plumbing():
+    """The opt-in "high" (bf16x3) MXU precision must thread through the
+    fused and dyn protein scorers; on CPU interpret backends high==highest
+    numerically, so this pins plumbing + parity (the real accuracy delta
+    is measured on-chip by scripts/bench_protein.py)."""
+    tips, sites, states = 12, 128, 20
+    rng = np.random.default_rng(3)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(tips, rng), sites=sites, states=states, seed=3)
+    t = topo.schedule.tips
+
+    base = ev.make_score(topo, 4, states, impl="mxu", interpret=True)
+    want = float(base(model, cp.pack_tips(clv[:t], "mxu")))
+
+    hi = ev.make_score(topo, 4, states, impl="mxu", mxu_precision="high",
+                       interpret=True)
+    got = float(hi(model, cp.pack_tips(clv[:t], "mxu")))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(states, dtype=np.uint32)[None, :, None]).sum(1)
+    dyn_hi = ev.make_score_unbounded(topo, 4, states, masks,
+                                     mxu_precision="high", interpret=True)
+    np.testing.assert_allclose(float(dyn_hi(model)), want, rtol=1e-4)
