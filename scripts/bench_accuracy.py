@@ -40,6 +40,7 @@ CONFIGS = [
     ("flagship 64x262144", _random_tree_newick, 64, 262144),
     ("deep 512-caterpillar x 8192", _caterpillar_newick, 512, 8192),
     ("large 1024 x 32768", _random_tree_newick, 1024, 32768),
+    ("deep 4096-caterpillar x 2048", _caterpillar_newick, 4096, 2048),
 ]
 if CPU:  # interpreter mode is slow: shrink
     CONFIGS = [
