@@ -34,7 +34,7 @@ from ..io import maps
 from ..models.gamma import compute_gamma_cats
 from ..tree import utree as ut
 from .parsimony import FastParsimony
-from .spr import make_round_scorer, spr_round
+from .spr import make_round_scorer, nni_round, spr_round
 from .stepwise import fastparsimony_stepwise
 
 
@@ -57,7 +57,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                radius: int = 5, max_rounds: int = 20,
                blopt_sweeps: int = 2, spr_batch: int = 32,
                min_delta: float = 1e-6, compress: bool = True,
-               dtype=jnp.float64) -> InferResult:
+               moves: str = "spr", dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
     Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
@@ -66,9 +66,14 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     ``compress`` dedups site patterns into weighted columns
     (`pll_compress_site_patterns`) before any device work — the standard
     real-data speedup; the inferred logL equals the uncompressed one.
+    ``moves`` selects the topology search: ``"spr"`` (radius-bounded SPR
+    rounds, default) or ``"nni"`` (nearest-neighbor interchanges — the
+    cheaper move set users of `pll_utree_nni` assemble).
     """
     from ..io.compress import compress_site_patterns
 
+    if moves not in ("spr", "nni"):
+        raise ValueError(f"moves must be 'spr' or 'nni', got {moves!r}")
     labels = list(sequences)
     seqs = [sequences[lab] for lab in labels]
     tips = len(labels)
@@ -158,19 +163,24 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
         t0 = time.perf_counter()
         if scorer is None:
             scorer = make_round_scorer(part, cap)
+        def one_round():
+            if moves == "nni":
+                return nni_round(tree, part, pidx, capacity=cap,
+                                 batch=spr_batch, scorer=scorer,
+                                 min_delta=min_delta)
+            return spr_round(tree, part, pidx, radius=radius, capacity=cap,
+                             batch=spr_batch, scorer=scorer,
+                             min_delta=min_delta)
+
         try:
-            res = spr_round(tree, part, pidx, radius=radius, capacity=cap,
-                            batch=spr_batch, scorer=scorer,
-                            min_delta=min_delta)
+            res = one_round()
         except CapacityError:
             # a candidate's dirty subset outgrew the pre-sized envelope:
             # rebuild the scorer once with a doubled envelope; any other
             # error propagates untouched
             cap *= 2
             scorer = make_round_scorer(part, cap)
-            res = spr_round(tree, part, pidx, radius=radius, capacity=cap,
-                            batch=spr_batch, scorer=scorer,
-                            min_delta=min_delta)
+            res = one_round()
         improved = res.improved
         logl = res.best_logl
         timings["spr"] += time.perf_counter() - t0

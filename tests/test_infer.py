@@ -158,3 +158,18 @@ def test_infer_protein():
     assert np.isfinite(res.logl)
     tree_chk = ut.parse_newick_string(ut.export_newick(res.tree.root))
     assert tree_chk.tip_count == 6
+
+
+def test_infer_tree_nni_moves():
+    """moves="nni" drives the search with nearest-neighbor interchanges:
+    valid tree, monotone trajectory, and an unknown move set raises."""
+    rng = np.random.default_rng(9)
+    seqs = _simulate(_random_tree(TIPS, rng), rng)
+    res = infer_tree(seqs, rate_cats=CATS, alpha=ALPHA,
+                     frequencies=FREQS, subst_params=PARAMS,
+                     seed=7, moves="nni", max_rounds=6)
+    assert ut.check_integrity(res.tree)
+    assert res.trajectory == sorted(res.trajectory)  # monotone
+    assert res.logl >= res.trajectory[0] - 1e-9
+    with pytest.raises(ValueError):
+        infer_tree(seqs, moves="tbr")
