@@ -229,8 +229,8 @@ def _chunk_fitch(vectors, costs, idx, c1, c2):
     return vectors, costs
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
+def _stepwise_build_body(n_tips: int, axis_name, vecs_t, costs_t, back,
+                         edge_rows, order):
     """The WHOLE greedy stepwise-addition build as ONE compiled program.
 
     Replaces the reference's host-side insertion loop
@@ -251,6 +251,13 @@ def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
 
     vecs_t/costs_t: tuples (one per parsimony partition) of uint32
     [D, S, W] / [D].  Returns (back, per-partition final edge scores).
+
+    ``axis_name``: when run under ``shard_map`` with the word axis W
+    sharded (the giant-alignment configuration), per-device costs/scores
+    are word-shard partials; the ONE collective per insertion is an
+    integer ``psum`` of the candidate score vector before the argmin, so
+    every device picks the identical edge and applies identical topology
+    updates.  ``None`` (single device) adds no collectives.
     """
     D = back.shape[0]
     E = edge_rows.shape[0]
@@ -321,6 +328,8 @@ def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
         for v, c in zip(vecs_t, costs_t):
             s = _insert_scores(v, c, v[tip], u_idx, v_idx)
             scores = s if scores is None else scores + s
+        if axis_name is not None:
+            scores = jax.lax.psum(scores, axis_name)
         scores = jnp.where(e_arange < ne, scores, jnp.uint32(0xFFFFFFFF))
         e_star = jnp.argmin(scores)
 
@@ -354,7 +363,10 @@ def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
         for k in range(1, land.shape[0]):
             union = union | land[k]
         s = jnp.sum(jax.lax.population_count(~union), axis=-1)
-        finals.append(s.astype(c.dtype) + c[u] + c[v])
+        f = s.astype(c.dtype) + c[u] + c[v]
+        if axis_name is not None:
+            f = jax.lax.psum(f, axis_name)
+        finals.append(f)
     return back, tuple(finals)
 
 
@@ -377,3 +389,10 @@ def fitch_insert_scores(vectors, costs, tipvec, u_idx, v_idx):
     tipvec: uint32 [S, W]. u_idx/v_idx: int32 [E].
     """
     return _insert_scores(vectors, costs, tipvec, u_idx, v_idx)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
+    """Single-device jit of :func:`_stepwise_build_body`."""
+    return _stepwise_build_body(n_tips, None, vecs_t, costs_t, back,
+                                edge_rows, order)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -228,6 +229,71 @@ class StepwiseBuilder:
                     + sum(p.const_cost for p in self.partitions))
         return self._reconstruct(back), score
 
+    def build_device_sharded(self, seed: int, mesh) -> Tuple[UTree, int]:
+        """Device-resident build with the Fitch *word axis* sharded over
+        ``mesh`` — the stepwise configuration of the giant-alignment
+        target (BASELINE.json: 10k-taxa × 1M-site alignment across ≥2
+        hosts).  Each device holds its word shard of every directional
+        vector plus a word-shard-partial cost array; the ONE collective
+        per insertion is an integer psum of the candidate-score vector
+        before the argmin (`fitch._stepwise_build_body`), so the topology
+        decisions — and the resulting tree/score — are bit-identical to
+        the single-device engine and the reference."""
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.tips
+        if n < 4:
+            return self.build(seed)
+        (axis,) = mesh.axis_names
+        n_dev = mesh.devices.size
+        order = shuffled_order(n, seed)
+        D = n + 3 * (n - 2)
+        E = 2 * n - 3
+
+        back0 = np.full(D, -1, np.int32)
+        for k in range(3):
+            back0[n + k] = order[k]
+            back0[order[k]] = n + k
+        edge_rows0 = np.array([n, n + 1, n + 2] + [0] * (E - 3), np.int32)
+
+        vecs_t = []
+        for part in self.partitions:
+            v = np.asarray(part.vectors[:n])
+            W = v.shape[-1]
+            pad = (-W) % n_dev
+            if pad:
+                # extra all-ones pad words contribute zero cost (their
+                # union is all-ones) and keep every shard equal-width
+                v = np.concatenate(
+                    [v, np.full(v.shape[:-1] + (pad,), 0xFFFFFFFF,
+                                np.uint32)], axis=-1)
+            full = np.zeros((D,) + v.shape[1:], np.uint32)
+            full[:n] = v
+            vecs_t.append(jnp.asarray(full))
+        costs_t = tuple(jnp.zeros((D,), dtype=jnp.uint32)
+                        for _ in self.partitions)
+        vecs_t = tuple(
+            jax.device_put(v, NamedSharding(mesh, P(None, None, axis)))
+            for v in vecs_t)
+
+        shard_v = P(None, None, axis)
+        repl = P()
+        fn = shard_map(
+            lambda *a: fitch._stepwise_build_body(n, axis, *a),
+            mesh=mesh,
+            in_specs=(tuple(shard_v for _ in vecs_t),
+                      tuple(repl for _ in costs_t), repl, repl, repl),
+            out_specs=(repl, tuple(repl for _ in costs_t)),
+            check_vma=False)
+        back, finals = jax.jit(fn)(
+            vecs_t, costs_t, jnp.asarray(back0), jnp.asarray(edge_rows0),
+            jnp.asarray(order, jnp.int32))
+        back = np.asarray(back)
+        score = int(sum(int(f) for f in finals)
+                    + sum(p.const_cost for p in self.partitions))
+        return self._reconstruct(back), score
+
     def _reconstruct(self, back: np.ndarray) -> UTree:
         """Rebuild the UNode graph from the device ``back`` involution +
         the static ring layout (tips 0..n-1; inner rows in ring triples)."""
@@ -289,16 +355,21 @@ class StepwiseBuilder:
 
 def fastparsimony_stepwise(partitions: Sequence[FastParsimony],
                            labels: Sequence[str], seed: int,
-                           engine: str = "device") -> Tuple[UTree, int]:
+                           engine: str = "device",
+                           mesh=None) -> Tuple[UTree, int]:
     """reference pll_fastparsimony_stepwise (stepwise.c:337-546).
 
     engine="device" (default) runs the whole greedy build as one compiled
     program on the accelerator; engine="host" keeps the insertion loop on
     the host with batched per-insertion device calls (the reference-shaped
     dual path, kept for cross-validation).  Both are seed- and
-    tie-break-exact with the reference.
+    tie-break-exact with the reference.  Passing a ``mesh`` shards the
+    Fitch word axis across its devices (one integer psum per insertion) —
+    the giant-alignment configuration; results are bit-identical.
     """
     builder = StepwiseBuilder(partitions, labels)
+    if mesh is not None:
+        return builder.build_device_sharded(seed, mesh)
     if engine == "device":
         return builder.build_device(seed)
     if engine == "host":

@@ -116,3 +116,26 @@ def test_stepwise_seed_zero_no_shuffle():
     part = FastParsimony.from_sequences(seqs, maps.pll_map_nt, 4)
     tree, score = fastparsimony_stepwise([part], labels, 0)
     assert score == want
+
+
+def test_stepwise_sharded_words_bit_identical():
+    """Word-axis-sharded device build (the giant-alignment configuration:
+    one integer psum per insertion) must reproduce the single-device
+    engine bit-for-bit — same topology, same score."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    rng = np.random.default_rng(5)
+    tips, sites = 16, 600
+    seqs = ["".join(rng.choice(list("ACGT"), sites)) for _ in range(tips)]
+    labels = [f"t{i}" for i in range(tips)]
+    part = FastParsimony.from_sequences(seqs, maps.pll_map_nt, 4)
+
+    t1, s1 = fastparsimony_stepwise([part], labels, 42, engine="device")
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("words",))
+    t2, s2 = fastparsimony_stepwise([part], labels, 42, mesh=mesh)
+    assert s1 == s2
+    assert ut.export_newick(t1.root) == ut.export_newick(t2.root)
