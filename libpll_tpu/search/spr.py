@@ -176,8 +176,13 @@ def spr_round(tree: UTree, part, params_indices, *,
 def encode_candidates(tree: UTree, candidates):
     """Host pass: apply/encode/rollback every candidate.  Returns
     (enc list of (p, r, changed, ops, eval_edge), max op count); illegal/no-op
-    candidates are dropped.  Validity flags are exactly restored."""
+    candidates are dropped.  Validity flags are exactly restored.
+
+    The dirty-set peek uses :class:`incremental.PeekIndex` — one Euler
+    index built per call, O(path) per candidate instead of the O(n) full
+    walk (the dominant host cost of a round at large tree sizes)."""
     root = tree.root
+    peek_idx = inc.PeekIndex(root)
     enc: List[tuple] = []
     n_ops_max = 0
     for (p, r) in candidates:
@@ -185,11 +190,17 @@ def encode_candidates(tree: UTree, candidates):
                                    r, r.back])
         rb = moves.Rollback(moves.MOVE_SPR)
         try:
-            changed = moves.spr_safe(p, r, rollback=rb)
+            # O(1) index-based containment (exact equivalent of spr_safe's
+            # O(subtree) walk, asserted in tests); moves.spr itself rejects
+            # the no-op cases
+            if peek_idx.contains(p.back, r):
+                raise SprError("Node r is part of the subtree to be pruned")
+            with moves.record_flips() as flips:
+                changed = moves.spr(p, r, rollback=rb)
         except SprError:
             inc.restore_flags(snap)
             continue
-        dirty = inc.peek_partial(root)
+        dirty = peek_idx.peek(flips)
         pops = inc.create_partial_operations(dirty)
         # eval-edge description of the *moved* topology: the regraft may
         # bisect the evaluation edge itself, relinking root.back
@@ -275,6 +286,7 @@ def encode_nni_candidates(tree: UTree, candidates):
     existing row at its current length (an idempotent no-op the fixed-shape
     scorer needs)."""
     root = tree.root
+    peek_idx = inc.PeekIndex(root)
     enc: List[tuple] = []
     n_ops_max = 0
     for (edge, nni_type) in candidates:
@@ -285,11 +297,12 @@ def encode_nni_candidates(tree: UTree, candidates):
              edge.back.next.next.back])
         rb = moves.Rollback(moves.MOVE_NNI)
         try:
-            moves.nni(edge, nni_type, rollback=rb)
+            with moves.record_flips() as flips:
+                moves.nni(edge, nni_type, rollback=rb)
         except SprError:
             inc.restore_flags(snap)
             continue
-        dirty = inc.peek_partial(root)
+        dirty = peek_idx.peek(flips)
         pops = inc.create_partial_operations(dirty)
         changed = [(edge.length, edge.pmatrix_index)] * 3
         eval_edge = (root.clv_index, root.scaler_index,

@@ -156,3 +156,131 @@ def create_partial_operations(nodes: List[UNode]):
         child2_matrix_index=n.next.next.back.pmatrix_index,
         child2_scaler_index=n.next.next.back.scaler_index,
     ) for n in nodes if not n.is_tip]
+
+
+class PeekIndex:
+    """O(path)-per-candidate :func:`peek_partial` for tree search.
+
+    ``peek_partial`` walks the whole tree per candidate (O(n) host time ×
+    O(n) candidates per SPR round = the dominant host cost at large tree
+    sizes).  This index, built ONCE per round on the *base* topology
+    (all-valid flags, fixed evaluation root), prunes the walk with a
+    base-tree Euler-interval oracle:
+
+      * every toward-root direction gets its base post-order subtree
+        interval ``[lo, hi]``; every ring/tip gets a scalar time;
+      * a candidate move relinks a handful of ring endpoints
+        (:func:`libpll_tpu.tree.moves.record_flips` captures exactly the
+        directions it invalidated).  If none of the flipped rings' times
+        fall inside ``[lo(d), hi(d)]``, the move is entirely disjoint
+        from base-subtree(d): current-subtree(d) is identical, untouched
+        and valid — the walk prunes.  Otherwise it descends and applies
+        the *original* exact condition.
+
+    The oracle errs only toward "maybe" (directions missing from the
+    index — e.g. orientations flipped by moving a root-containing
+    subtree — always descend), so the result is exactly
+    ``peek_partial``'s, at O(depth × flips) typical cost.
+    """
+
+    def __init__(self, root: UNode):
+        if root.is_tip:
+            raise TreeError("traversal root must be an inner node")
+        self.root = root
+        self.times: dict = {}
+        self.intervals: dict = {}
+        # the interval prune asserts "untouched subtree == all valid",
+        # which holds only on a fully-valid base (as after update_partials
+        # + mark_valid); otherwise peek() falls back to the full walk
+        self.base_clean = True
+        counter = 0
+
+        def dfs(u: UNode):
+            nonlocal counter
+            if u.is_tip:
+                t = counter
+                counter += 1
+                self.times[id(u)] = t
+                return t, t
+            if not u.clv_valid:
+                self.base_clean = False
+            lo1, _ = dfs(u.next.back)
+            dfs(u.next.next.back)
+            t = counter
+            counter += 1
+            for m in u.ring():
+                self.times[id(m)] = t
+            self.intervals[id(u)] = (lo1, t)
+            return lo1, t
+
+        if not root.back.is_tip:
+            dfs(root.back)
+        else:
+            t = counter
+            counter += 1
+            self.times[id(root.back)] = t
+        dfs(root)
+
+    def peek(self, flipped) -> List[UNode]:
+        """Read-only minimal recompute set after a candidate move whose
+        invalidated directions are ``flipped`` (see
+        :func:`libpll_tpu.tree.moves.record_flips`).  Flags untouched."""
+        times = self.times
+        intervals = self.intervals
+        if not self.base_clean or any(id(m) not in times for m in flipped):
+            # stale base flags, or a flipped direction the base tree never
+            # saw: no oracle — fall back to the exact full walk
+            return peek_partial(self.root)
+        marks = sorted({times[id(m)] for m in flipped})
+        out: List[UNode] = []
+
+        def rec(u: UNode) -> bool:
+            if u.is_tip:
+                return False
+            iv = intervals.get(id(u))
+            if iv is not None:
+                lo, hi = iv
+                # marks is tiny (≤ ~8); linear scan beats bisect here
+                if not any(lo <= t <= hi for t in marks):
+                    return False
+            d1 = rec(u.next.back)
+            d2 = rec(u.next.next.back)
+            if d1 or d2 or not u.clv_valid:
+                out.append(u)
+                return True
+            return False
+
+        rec(self.root.back)
+        rec(self.root)
+        return out
+
+    def contains(self, start: UNode, target: UNode) -> bool:
+        """O(1) equivalent of :func:`libpll_tpu.tree.moves._subtree_contains`
+        on the *base* topology: is ``target`` inside the subtree hanging
+        off directed node ``start`` (its ring plus the branches behind
+        ``start.next`` / ``start.next.next``)?
+
+        Euler identities: a computed (DFS-entered) direction's subtree is
+        exactly its post-order interval; any other ring member's subtree
+        is the complement of the branch behind it, which is the interval
+        of its ``back`` (always a computed direction or a tip)."""
+        from . import moves as _moves
+
+        tt = self.times.get(id(target))
+        if not self.base_clean or tt is None:
+            return _moves._subtree_contains(start, target)
+        iv = self.intervals.get(id(start))
+        if iv is not None:
+            return iv[0] <= tt <= iv[1]
+        b = start.back
+        if b is None:
+            return _moves._subtree_contains(start, target)
+        if b.is_tip:
+            bt = self.times.get(id(b))
+            if bt is None:
+                return _moves._subtree_contains(start, target)
+            return tt != bt
+        ivb = self.intervals.get(id(b))
+        if ivb is None:
+            return _moves._subtree_contains(start, target)
+        return not (ivb[0] <= tt <= ivb[1])

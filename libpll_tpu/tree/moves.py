@@ -15,11 +15,28 @@ pairs so the caller can refresh exactly those P-matrices and re-run a partial
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 from ..errors import SprError, ParamError
 from .utree import UNode
+
+# when set (see record_flips), _link appends every direction it
+# invalidates — the seed set tree search feeds to incremental.PeekIndex
+_flip_log: Optional[List[UNode]] = None
+
+
+@contextmanager
+def record_flips():
+    """Collect the directed nodes invalidated by moves executed in this
+    context (each ring the move relinks)."""
+    global _flip_log
+    prev, _flip_log = _flip_log, []
+    try:
+        yield _flip_log
+    finally:
+        _flip_log = prev
 
 MOVE_SPR = 1
 MOVE_NNI = 2
@@ -58,6 +75,8 @@ def _link(a: UNode, b: UNode, length: float, pmatrix_index: int) -> None:
             for m in end.ring():
                 if m is not end:
                     m.clv_valid = False
+                    if _flip_log is not None:
+                        _flip_log.append(m)
 
 
 def _swap(t1: UNode, t2: UNode) -> None:

@@ -207,3 +207,100 @@ def test_hky_via_gtr_parameterization():
         r.clv_index, r.scaler_index, r.back.clv_index, r.back.scaler_index,
         r.pmatrix_index, [0] * CATS)
     np.testing.assert_allclose(logl, ref_logl, rtol=1e-10)
+
+
+def test_peek_index_matches_peek_partial_exactly():
+    """PeekIndex (the per-round Euler-interval oracle) must reproduce
+    peek_partial's output exactly — same nodes, same post-order — across
+    random SPR and NNI candidates, including prune subtrees that contain
+    the evaluation root (the orientation-flip case, where the oracle may
+    only err toward descending)."""
+    from libpll_tpu.tree import moves
+    from libpll_tpu.tree import incremental as inc_mod
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        tips = int(rng.integers(8, 40))
+        from test_clv_pallas import _random_tree_newick
+        tree = ut.parse_newick_string(_random_tree_newick(tips, rng))
+        root = tree.root
+        trav = ut.traverse(root)
+        inc_mod.mark_valid(trav)
+        idx = inc_mod.PeekIndex(root)
+
+        inners = [n for n in ut.query_innernodes(tree)]
+        all_dirs = []
+        for n in inners:
+            all_dirs.extend(n.ring())
+        checked = 0
+        for _ in range(60):
+            p = all_dirs[rng.integers(len(all_dirs))]
+            r = all_dirs[rng.integers(len(all_dirs))]
+            snap = inc_mod.snapshot_flags(
+                [p, p.next.back, p.next.next.back, r, r.back])
+            rb = moves.Rollback(moves.MOVE_SPR)
+            with moves.record_flips() as flips:
+                try:
+                    # plain spr (not spr_safe): containment of the eval
+                    # root inside the pruned subtree is exactly the edge
+                    # case we want covered; r inside the pruned subtree
+                    # corrupts the tree, so keep the containment check
+                    if moves._subtree_contains(p.back, r):
+                        raise moves.SprError("contained")
+                    moves.spr(p, r, rollback=rb)
+                except moves.SprError:
+                    inc_mod.restore_flags(snap)
+                    continue
+            want = inc_mod.peek_partial(root)
+            got = idx.peek(flips)
+            moves.rollback_move(rb)
+            inc_mod.restore_flags(snap)
+            assert [id(n) for n in got] == [id(n) for n in want], (
+                trial, tips, checked)
+            checked += 1
+        assert checked > 10
+
+        # NNI sweep over every inner edge, both types
+        for n in inners:
+            for m in n.ring():
+                if m.back.next is None:
+                    continue
+                for t in (moves.NNI_LEFT, moves.NNI_RIGHT):
+                    snap = inc_mod.snapshot_flags(
+                        [m, m.back, m.next.back, m.back.next.back,
+                         m.back.next.next.back])
+                    rb = moves.Rollback(moves.MOVE_NNI)
+                    with moves.record_flips() as flips:
+                        moves.nni(m, t, rollback=rb)
+                    want = inc_mod.peek_partial(root)
+                    got = idx.peek(flips)
+                    moves.rollback_move(rb)
+                    inc_mod.restore_flags(snap)
+                    assert [id(x) for x in got] == [id(x) for x in want]
+
+
+def test_peek_index_contains_matches_subtree_contains():
+    """PeekIndex.contains must equal moves._subtree_contains for every
+    (directed start, target) pair on the base topology."""
+    from libpll_tpu.tree import moves
+    from libpll_tpu.tree import incremental as inc_mod
+    from test_clv_pallas import _random_tree_newick
+
+    rng = np.random.default_rng(77)
+    for tips in (8, 13, 27):
+        tree = ut.parse_newick_string(_random_tree_newick(tips, rng))
+        root = tree.root
+        inc_mod.mark_valid(ut.traverse(root))
+        idx = inc_mod.PeekIndex(root)
+
+        dirs = []
+        for n in tree.nodes:
+            dirs.extend([n] if n.is_tip else list(n.ring()))
+        for start in dirs:
+            if start.is_tip:
+                continue
+            for target in dirs:
+                want = moves._subtree_contains(start, target)
+                got = idx.contains(start, target)
+                assert got == want, (tips, start.node_index,
+                                     target.node_index)
