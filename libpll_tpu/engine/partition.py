@@ -60,7 +60,12 @@ class Operation:
     child2_scaler_index: int
 
     def as_tuple(self):
-        return dataclasses.astuple(self)
+        # NOT dataclasses.astuple: that routes through deepcopy and
+        # dominates candidate-encoding host time in tree search
+        return (self.parent_clv_index, self.parent_scaler_index,
+                self.child1_clv_index, self.child1_matrix_index,
+                self.child1_scaler_index, self.child2_clv_index,
+                self.child2_matrix_index, self.child2_scaler_index)
 
 
 def operations_to_array(operations, n_scale_buffers: int) -> np.ndarray:
