@@ -108,7 +108,8 @@ def main():
     t0 = time.perf_counter()
     # min_delta 1e-2: at bench scale (|logL| ~ 1e6-1e7) smaller deltas are
     # Newton-sweep noise and only add no-progress rounds
-    res = infer_tree(data, alpha=0.8, seed=42, dtype=DTYPE, min_delta=1e-2)
+    res = infer_tree(data, alpha=0.8, seed=42, dtype=DTYPE, min_delta=1e-2,
+                     spr_batch=128)  # amortize the ~40 ms remote dispatch
     total = time.perf_counter() - t0
     print(f"ours: time-to-tree {total:.1f}s  logL={res.logl:.3f}  "
           f"rounds={res.rounds}  parsimony_start={res.start_parsimony_score}")
