@@ -155,3 +155,48 @@ def test_site_sharded_spr_round_matches_single_device():
     np.testing.assert_allclose(res2.best_logl, res1.best_logl, rtol=1e-12)
     assert res1.best == res2.best
     assert "sites" in str(part2.clv.sharding.spec)
+
+
+def test_site_sharded_blopt_matches_single_device():
+    """The device-resident Newton branch-length sweep likewise runs
+    unmodified on a site-sharded partition (GSPMD inserts the psum for
+    the derivative folds) and matches the single-device result."""
+    from jax.sharding import Mesh
+
+    from libpll_tpu.engine import blopt
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+
+    def build(tips, sites, seed=0):
+        rng = np.random.default_rng(seed)
+        items = [f"t{i}:{rng.uniform(0.05, 0.5):.4f}" for i in range(tips)]
+        while len(items) > 3:
+            i, j = sorted(rng.choice(len(items), 2, replace=False))
+            b = items.pop(j)
+            a = items.pop(i)
+            items.append(f"({a},{b}):{rng.uniform(0.05, 0.5):.4f}")
+        tree = ut.parse_newick_string(f"({items[0]},{items[1]},{items[2]});")
+        part = pll.Partition(tips, tips - 2, 4, sites, 1, 2 * tips - 3,
+                             4, tips - 2)
+        alpha = np.array(list("ACGT"))
+        seqs = rng.integers(0, 4, (tips, sites))
+        for n in ut.query_tipnodes(tree):
+            part.set_tip_states(n.clv_index, maps.pll_map_nt,
+                                "".join(alpha[seqs[n.clv_index]]))
+        part.set_frequencies(0, [0.3, 0.25, 0.2, 0.25])
+        part.set_subst_params(0, [1.2, 2.1, 0.7, 1.4, 3.3, 1.0])
+        part.set_category_rates(compute_gamma_cats(1.0, 4))
+        return tree, part
+
+    tips, sites = 16, 256
+    tree1, part1 = build(tips, sites)
+    l1, s1 = blopt.optimize_branch_lengths_scan(tree1, part1, [0] * 4,
+                                                max_sweeps=2)
+    tree2, part2 = build(tips, sites)
+    mesh = Mesh(np.asarray(jax.devices()), ("sites",))
+    pmesh.shard_partition(part2, mesh)
+    l2, s2 = blopt.optimize_branch_lengths_scan(tree2, part2, [0] * 4,
+                                                max_sweeps=2)
+    assert s1 == s2
+    np.testing.assert_allclose(l2, l1, rtol=1e-9)
