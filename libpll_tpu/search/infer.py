@@ -57,7 +57,8 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                radius: int = 5, max_rounds: int = 20,
                blopt_sweeps: int = 2, spr_batch: int = 32,
                min_delta: float = 1e-6, compress: bool = True,
-               moves: str = "spr", dtype=jnp.float64) -> InferResult:
+               moves: str = "spr", mesh=None,
+               dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
     Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
@@ -69,6 +70,11 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     ``moves`` selects the topology search: ``"spr"`` (radius-bounded SPR
     rounds, default) or ``"nni"`` (nearest-neighbor interchanges — the
     cheaper move set users of `pll_utree_nni` assemble).
+    ``mesh`` runs the whole inference sites-sharded: the stepwise build
+    shards its Fitch word axis (one integer psum per insertion), the
+    partition's bulk arrays shard on the site axis (weight-0 pad columns
+    even out the division), and the SPR scorer / Newton sweeps partition
+    automatically under GSPMD — results match the single-device run.
     """
     from ..io.compress import compress_site_patterns
 
@@ -86,6 +92,19 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     if compress:
         seqs, weights = compress_site_patterns(seqs, cmap)
     sites = len(seqs[0])
+    if mesh is not None:
+        # zero-weight pad columns make sites divide the mesh evenly
+        # (mirroring the reference's zero-weight SIMD padding)
+        pad = (-sites) % int(np.prod(list(mesh.shape.values())))
+        if pad:
+            if weights is None:
+                weights = np.ones(sites, np.int64)
+            idx = int(np.argmax(cmap > 0))
+            padchar = chr(idx) * pad
+            seqs = [s + padchar for s in seqs]
+            weights = np.concatenate([np.asarray(weights),
+                                      np.zeros(pad, np.int64)])
+            sites += pad
     timings["compress"] = time.perf_counter() - t0
 
     # 1. parsimony starting tree
@@ -93,7 +112,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     pars = FastParsimony.from_sequences(
         seqs, cmap, states=states,
         pattern_weights=weights if weights is not None else None)
-    tree, pscore = fastparsimony_stepwise([pars], labels, seed)
+    tree, pscore = fastparsimony_stepwise([pars], labels, seed, mesh=mesh)
     timings["stepwise"] = time.perf_counter() - t0
     for n in tree.nodes:  # stepwise emits zero-length branches
         for m in ([n] if n.is_tip else n.ring()):
@@ -116,6 +135,9 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     part.set_subst_params(0, subst_params if subst_params is not None
                           else [1.0] * n_params)
     part.set_category_rates(compute_gamma_cats(alpha, rate_cats))
+    if mesh is not None:
+        from ..parallel.mesh import shard_partition
+        shard_partition(part, mesh)
     pidx = [0] * rate_cats
 
     # 3. alternate branch-length sweeps and SPR rounds.  Both executors

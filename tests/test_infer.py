@@ -173,3 +173,26 @@ def test_infer_tree_nni_moves():
     assert res.logl >= res.trajectory[0] - 1e-9
     with pytest.raises(ValueError):
         infer_tree(seqs, moves="tbr")
+
+
+def test_infer_tree_sharded_matches_single_device():
+    """infer_tree(mesh=...) runs the complete pipeline sites-sharded
+    (sharded stepwise build + sharded partition through every SPR/Newton
+    round) and must reproduce the single-device inference exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    rng = np.random.default_rng(17)
+    seqs = _simulate(_random_tree(TIPS, rng), rng)
+
+    r1 = infer_tree(seqs, rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+                    subst_params=PARAMS, seed=3, max_rounds=4)
+    mesh = Mesh(np.asarray(jax.devices()), ("sites",))
+    r2 = infer_tree(seqs, rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+                    subst_params=PARAMS, seed=3, max_rounds=4, mesh=mesh)
+    assert r1.start_parsimony_score == r2.start_parsimony_score
+    assert ut.export_newick(r1.tree.root) == ut.export_newick(r2.tree.root)
+    np.testing.assert_allclose(r2.logl, r1.logl, rtol=1e-9)
+    assert "sites" in str(r2.partition.clv.sharding.spec)
