@@ -16,6 +16,8 @@ import os, sys
 import numpy as np
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.getcwd())
+sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
 import jax
 jax.config.update("jax_platforms", "cpu")
 
@@ -28,8 +30,6 @@ devs = jax.devices()
 assert len(devs) == 4, len(devs)  # 2 procs x 2 virtual devices
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-sys.path.insert(0, os.getcwd())
-sys.path.insert(0, "tests")
 from __graft_entry__ import _build_flagship
 from libpll_tpu.engine.evaluate import make_forward
 
