@@ -310,13 +310,24 @@ def make_sweep_program(n_nodes: int, n_scale_buffers: int, capacity: int,
 def optimize_branch_lengths_scan(tree, part, params_indices, *,
                                  max_sweeps: int = 8, tol: float = 1e-6,
                                  capacity: Optional[int] = None,
-                                 program=None):
+                                 program=None, edges=None,
+                                 edge_pad: Optional[int] = None):
     """Branch-length optimization with the whole sweep device-resident:
     ONE compiled call optimizes all 2n−3 edges (vs ~4 dispatches per edge
     in :func:`optimize_branch_lengths`).  Per sweep the host replays the
     flag dynamics to precompute every edge's re-orientation op table (all
     data; `program` can be reused across sweeps/trees of the same
-    envelope for zero recompiles).  Returns (final logL, sweeps used)."""
+    envelope for zero recompiles).  Returns (final logL, sweeps used).
+
+    ``edges`` (a set of pmatrix indices) restricts the sweep to a subset —
+    the *local* optimization discipline after a topology move (the
+    reference's `pll_utree_spr` hands back exactly the changed branches
+    for this purpose, utree_moves.c:204-251).  ``edge_pad`` pads the edge
+    axis to a fixed count by repeating the last edge, so one compiled
+    program serves every subset size; repeats are harmless (replaying an
+    op table is idempotent and acceptance is monotone: the repeat
+    re-derives the same t* and re-accepts at equal likelihood).  Raises
+    :class:`CapacityError` if the subset exceeds ``edge_pad``."""
     from ..engine.partition import operations_to_array
     from ..errors import ParamError
     from ..ops.incremental import pad_op_table
@@ -348,6 +359,8 @@ def optimize_branch_lengths_scan(tree, part, params_indices, *,
             if node.pmatrix_index in seen:
                 continue
             seen.add(node.pmatrix_index)
+            if edges is not None and node.pmatrix_index not in edges:
+                continue
             u = node if not node.is_tip else node.back
             pops = inc.create_partial_operations(inc.partial_traverse(u))
             if not pops:
@@ -366,6 +379,17 @@ def optimize_branch_lengths_scan(tree, part, params_indices, *,
             t0s.append(u.length)
             inc.invalidate_edge(u)  # assume accepted
 
+        if not tables:
+            break  # empty subset: nothing to optimize
+        n_real = len(tables)
+        if edge_pad is not None:
+            from ..errors import CapacityError
+            if n_real > edge_pad:
+                raise CapacityError(
+                    f"edge subset ({n_real}) exceeds edge_pad ({edge_pad})")
+            tables += [tables[n_real - 1]] * (edge_pad - n_real)
+            erows += [erows[n_real - 1]] * (edge_pad - n_real)
+            t0s += [t0s[n_real - 1]] * (edge_pad - n_real)
         cap = capacity or max(
             8, 1 << (max(t.shape[0] for t in tables) - 1).bit_length())
         tab = np.stack([pad_op_table(t, cap) for t in tables])
@@ -388,10 +412,13 @@ def optimize_branch_lengths_scan(tree, part, params_indices, *,
             if node.pmatrix_index in seen:
                 continue
             seen.add(node.pmatrix_index)
+            if edges is not None and node.pmatrix_index not in edges:
+                continue
             u = node if not node.is_tip else node.back
             max_delta = max(max_delta, abs(float(ts[k]) - u.length))
             u.length = u.back.length = float(ts[k])
             k += 1
+        assert k == n_real, (k, n_real)
         logl = float(np.asarray(logls)[-1])
         if max_delta < tol or logl <= last_logl + 1e-10:
             break

@@ -49,6 +49,31 @@ class InferResult:
     timings: Dict[str, float] = field(default_factory=dict)
 
 
+def _local_edge_set(nodes, radius: int) -> set:
+    """pmatrix indices of every edge within ``radius`` edges of ``nodes``
+    — the changed neighborhood of a committed topology move (the
+    reference's `pll_utree_spr` reports exactly the changed branches for
+    selective updates, utree_moves.c:204-251; this widens that set by a
+    small radius for the local Newton pass)."""
+    out = set()
+    frontier = []
+    for nd in nodes:
+        for m in ([nd] if nd.is_tip else nd.ring()):
+            frontier.append((m, 0))
+    visited = set()
+    while frontier:
+        m, d = frontier.pop()
+        if id(m) in visited:
+            continue
+        visited.add(id(m))
+        out.add(m.pmatrix_index)
+        if d < radius:
+            b = m.back
+            for nxt in ([b] if b.is_tip else b.ring()):
+                frontier.append((nxt, d + 1))
+    return out
+
+
 def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                rate_cats: int = 4, alpha: float = 1.0,
                frequencies: Optional[Sequence[float]] = None,
@@ -57,7 +82,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                radius: int = 5, max_rounds: int = 20,
                blopt_sweeps: int = 2, spr_batch: int = 32,
                min_delta: float = 1e-6, compress: bool = True,
-               moves: str = "spr", mesh=None,
+               moves: str = "spr", mesh=None, local_blopt: int = 3,
                dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
@@ -75,6 +100,13 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     partition's bulk arrays shard on the site axis (weight-0 pad columns
     even out the division), and the SPR scorer / Newton sweeps partition
     automatically under GSPMD — results match the single-device run.
+    ``local_blopt`` (edge radius, 0 to disable) optimizes only the
+    branches within that radius of a committed move instead of paying a
+    full 2n−3-edge Newton sweep every round — the changed-branch
+    discipline the reference's move primitives exist to enable
+    (utree_moves.c:204-251).  Full sweeps still run at the start and as
+    the convergence check, so the final tree is fully optimized either
+    way.
     """
     from ..io.compress import compress_site_patterns
 
@@ -150,17 +182,26 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                                           scale_mode=part.scale_mode)
     timings["setup"] = time.perf_counter() - t0
 
-    def run_blopt():
+    LOCAL_EDGE_PAD = 64  # fixed local-sweep envelope (one trace per cap)
+
+    def run_blopt(edges=None):
         # capacity overflow (a re-orientation subset outgrew the envelope)
         # is the ONLY retryable condition; the retry count is bounded by
         # the pow2 ladder up to the full schedule size
         nonlocal bl_cap, bl_program
         max_cap = 1 << (2 * tips - 3).bit_length()
+        edge_pad = None
+        if edges is not None:
+            if len(edges) > LOCAL_EDGE_PAD:
+                edges = None  # unusually wide move: pay the full sweep
+            else:
+                edge_pad = LOCAL_EDGE_PAD
         while True:
             try:
                 return blopt.optimize_branch_lengths_scan(
                     tree, part, pidx, max_sweeps=blopt_sweeps,
-                    capacity=bl_cap, program=bl_program)
+                    capacity=bl_cap, program=bl_program,
+                    edges=edges, edge_pad=edge_pad)
             except CapacityError:
                 if bl_cap >= max_cap:
                     raise
@@ -181,6 +222,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     # is pre-sized — no compile-resize storm at default radius
     cap = 1 << (2 * radius + 8 - 1).bit_length()
     rounds = 0
+    improved = False
     for rounds in range(1, max_rounds + 1):
         t0 = time.perf_counter()
         if scorer is None:
@@ -207,13 +249,28 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
         logl = res.best_logl
         timings["spr"] += time.perf_counter() - t0
         t0 = time.perf_counter()
-        new_logl, _ = run_blopt()
+        if improved and local_blopt and res.best_nodes is not None:
+            # optimize only the changed neighborhood; the full sweep runs
+            # as the convergence check once SPR stops improving
+            new_logl, _ = run_blopt(
+                edges=_local_edge_set(res.best_nodes, local_blopt))
+            logl = max(logl, new_logl)
+        else:
+            new_logl, _ = run_blopt()
+            improved |= new_logl > logl + min_delta
+            logl = max(logl, new_logl)
         timings["blopt"] += time.perf_counter() - t0
-        improved |= new_logl > logl + min_delta
-        logl = max(logl, new_logl)
         trajectory.append(logl)
         if not improved:
             break
+
+    if local_blopt and improved:
+        # max_rounds exit on a local sweep: leave fully optimized anyway
+        t0 = time.perf_counter()
+        new_logl, _ = run_blopt()
+        timings["blopt"] += time.perf_counter() - t0
+        logl = max(logl, new_logl)
+        trajectory.append(logl)
 
     return InferResult(tree, part, float(logl), int(pscore), rounds,
                        trajectory, timings)

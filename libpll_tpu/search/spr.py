@@ -50,6 +50,7 @@ class SprResult:
     n_candidates: int
     n_ops_max: int
     best: Optional[Tuple[int, int]] = None  # (p.node_index, r.node_index)
+    best_nodes: Optional[tuple] = None  # the committed move's UNodes
 
 
 def _model_from_partition(part, params_indices) -> dict:
@@ -170,7 +171,7 @@ def spr_round(tree: UTree, part, params_indices, *,
         root.clv_index, root.scaler_index, root.back.clv_index,
         root.back.scaler_index, root.pmatrix_index, params_indices)
     return SprResult(logl0, float(logl_new), True, len(enc), n_ops_max,
-                     (p.node_index, r.node_index))
+                     (p.node_index, r.node_index), (p, r))
 
 
 def encode_candidates(tree: UTree, candidates):
@@ -359,4 +360,4 @@ def nni_round(tree: UTree, part, params_indices, *,
         root.clv_index, root.scaler_index, root.back.clv_index,
         root.back.scaler_index, root.pmatrix_index, params_indices)
     return SprResult(logl0, float(logl_new), True, len(enc), n_ops_max,
-                     (edge.node_index, nni_type))
+                     (edge.node_index, nni_type), (edge, edge.back))

@@ -158,3 +158,57 @@ def test_blopt_scan_matches_loop():
     part_chk = _partition_for(tree_chk, seqs)
     np.testing.assert_allclose(l_scan, _full_logl(tree_chk, part_chk),
                                atol=1e-6)
+
+
+def test_blopt_local_subset_sweep():
+    """Edge-subset sweeps (the local pass after a topology move): only the
+    subset's lengths change, the logL never regresses, and the fixed
+    edge_pad envelope (padding by repeating the last edge) gives the same
+    result as the unpadded subset."""
+    from libpll_tpu.errors import CapacityError
+
+    tree, part, seqs = _setup(seed=7, perturb=2.0)
+    before = {}
+    for n in tree.nodes:
+        for m in ([n] if n.is_tip else n.ring()):
+            before[m.pmatrix_index] = m.length
+    subset = set(list(before)[:5])
+    logl0 = _full_logl(tree, part)
+
+    logl, _ = blopt.optimize_branch_lengths_scan(
+        tree, part, [0] * CATS, max_sweeps=2, edges=subset, edge_pad=8)
+    assert logl >= logl0 - 1e-9, (logl0, logl)
+    changed = 0
+    for n in tree.nodes:
+        for m in ([n] if n.is_tip else n.ring()):
+            if m.pmatrix_index in subset:
+                changed += m.length != before[m.pmatrix_index]
+            else:
+                assert m.length == before[m.pmatrix_index], m.pmatrix_index
+    assert changed > 0
+
+    # unpadded subset run from the same start state gives the same lengths
+    tree2, part2, _ = _setup(seed=7, perturb=2.0)
+    logl2, _ = blopt.optimize_branch_lengths_scan(
+        tree2, part2, [0] * CATS, max_sweeps=2, edges=subset)
+    np.testing.assert_allclose(logl2, logl, rtol=1e-9)
+    lens2 = {}
+    for n in tree2.nodes:
+        for m in ([n] if n.is_tip else n.ring()):
+            lens2[m.pmatrix_index] = m.length
+    for k in subset:
+        np.testing.assert_allclose(lens2[k], _edge_len(tree, k), rtol=1e-9)
+
+    # a subset larger than the envelope is a typed capacity error
+    with pytest.raises(CapacityError):
+        blopt.optimize_branch_lengths_scan(
+            tree2, part2, [0] * CATS, max_sweeps=1,
+            edges=set(list(before)[:9]), edge_pad=8)
+
+
+def _edge_len(tree, pmatrix_index):
+    for n in tree.nodes:
+        for m in ([n] if n.is_tip else n.ring()):
+            if m.pmatrix_index == pmatrix_index:
+                return m.length
+    raise KeyError(pmatrix_index)

@@ -196,3 +196,26 @@ def test_infer_tree_sharded_matches_single_device():
     assert ut.export_newick(r1.tree.root) == ut.export_newick(r2.tree.root)
     np.testing.assert_allclose(r2.logl, r1.logl, rtol=1e-9)
     assert "sites" in str(r2.partition.clv.sharding.spec)
+
+
+def test_infer_local_blopt_matches_full():
+    """The local changed-neighborhood Newton pass (local_blopt, default)
+    must reach the same optimum as full 2n-3-edge sweeps every round —
+    the full sweep still runs as the convergence check, so the final
+    tree is fully optimized either way."""
+    rng = np.random.default_rng(12)
+    true_newick = _random_tree(TIPS, rng)
+    seqs = _simulate(true_newick, rng)
+    kw = dict(rate_cats=CATS, alpha=ALPHA, frequencies=FREQS,
+              subst_params=PARAMS, seed=5, radius=6, max_rounds=8)
+    res_local = infer_tree(seqs, local_blopt=3, **kw)
+    res_full = infer_tree(seqs, local_blopt=0, **kw)
+    assert res_local.trajectory == sorted(res_local.trajectory)
+    assert res_local.logl >= res_full.logl - 0.5, (
+        res_local.logl, res_full.logl)
+
+    # consistency of the local-path result
+    tree_chk = ut.parse_newick_string(ut.export_newick(res_local.tree.root))
+    part_chk = _partition_for(tree_chk, seqs)
+    np.testing.assert_allclose(res_local.logl, _full_logl(tree_chk, part_chk),
+                               atol=1e-5)
