@@ -34,7 +34,7 @@ from ..io import maps
 from ..models.gamma import compute_gamma_cats
 from ..tree import utree as ut
 from .parsimony import FastParsimony
-from .spr import make_round_scorer, nni_round, spr_round
+from .spr import local_edge_set, make_round_scorer, nni_round, spr_round
 from .stepwise import fastparsimony_stepwise
 
 
@@ -49,31 +49,6 @@ class InferResult:
     timings: Dict[str, float] = field(default_factory=dict)
 
 
-def _local_edge_set(nodes, radius: int) -> set:
-    """pmatrix indices of every edge within ``radius`` edges of ``nodes``
-    — the changed neighborhood of a committed topology move (the
-    reference's `pll_utree_spr` reports exactly the changed branches for
-    selective updates, utree_moves.c:204-251; this widens that set by a
-    small radius for the local Newton pass)."""
-    out = set()
-    frontier = []
-    for nd in nodes:
-        for m in ([nd] if nd.is_tip else nd.ring()):
-            frontier.append((m, 0))
-    visited = set()
-    while frontier:
-        m, d = frontier.pop()
-        if id(m) in visited:
-            continue
-        visited.add(id(m))
-        out.add(m.pmatrix_index)
-        if d < radius:
-            b = m.back
-            for nxt in ([b] if b.is_tip else b.ring()):
-                frontier.append((nxt, d + 1))
-    return out
-
-
 def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                rate_cats: int = 4, alpha: float = 1.0,
                frequencies: Optional[Sequence[float]] = None,
@@ -83,7 +58,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                blopt_sweeps: int = 2, spr_batch: int = 32,
                min_delta: float = 1e-6, compress: bool = True,
                moves: str = "spr", mesh=None, local_blopt: int = 3,
-               dtype=jnp.float64) -> InferResult:
+               spr_commit: int = 8, dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
     Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
@@ -106,7 +81,10 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     discipline the reference's move primitives exist to enable
     (utree_moves.c:204-251).  Full sweeps still run at the start and as
     the convergence check, so the final tree is fully optimized either
-    way.
+    way.  ``spr_commit`` applies up to that many non-overlapping
+    improving moves per scored round (each verified exactly, rolled back
+    on regression) — one neighborhood scoring pass then harvests several
+    independent improvements.
     """
     from ..io.compress import compress_site_patterns
 
@@ -182,9 +160,11 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                                           scale_mode=part.scale_mode)
     timings["setup"] = time.perf_counter() - t0
 
-    LOCAL_EDGE_PAD = 64  # fixed local-sweep envelope (one trace per cap)
+    # fixed local-sweep envelope (one trace per cap); sized for
+    # spr_commit moves' merged radius-local_blopt neighborhoods
+    LOCAL_EDGE_PAD = min(256, 1 << (2 * tips - 4).bit_length())
 
-    def run_blopt(edges=None):
+    def run_blopt(edges=None, sweeps=blopt_sweeps):
         # capacity overflow (a re-orientation subset outgrew the envelope)
         # is the ONLY retryable condition; the retry count is bounded by
         # the pow2 ladder up to the full schedule size
@@ -199,7 +179,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
         while True:
             try:
                 return blopt.optimize_branch_lengths_scan(
-                    tree, part, pidx, max_sweeps=blopt_sweeps,
+                    tree, part, pidx, max_sweeps=sweeps,
                     capacity=bl_cap, program=bl_program,
                     edges=edges, edge_pad=edge_pad)
             except CapacityError:
@@ -211,7 +191,12 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                     sites=part.sites, scale_mode=part.scale_mode)
 
     t0 = time.perf_counter()
-    logl, _ = run_blopt()
+    # the stepwise start's crude branch lengths need the initial full
+    # optimization run to (near) convergence — with local sweeps inside
+    # the rounds, under-optimization here is not recovered until the
+    # final convergence sweep and degrades SPR candidate ranking
+    logl, _ = run_blopt(
+        sweeps=max(blopt_sweeps, 6) if local_blopt else blopt_sweeps)
     timings["blopt"] = time.perf_counter() - t0
     timings["spr"] = 0.0
     trajectory = [logl]
@@ -234,7 +219,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                                  min_delta=min_delta)
             return spr_round(tree, part, pidx, radius=radius, capacity=cap,
                              batch=spr_batch, scorer=scorer,
-                             min_delta=min_delta)
+                             min_delta=min_delta, commit=spr_commit)
 
         try:
             res = one_round()
@@ -253,7 +238,7 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
             # optimize only the changed neighborhood; the full sweep runs
             # as the convergence check once SPR stops improving
             new_logl, _ = run_blopt(
-                edges=_local_edge_set(res.best_nodes, local_blopt))
+                edges=local_edge_set(res.best_nodes, local_blopt))
             logl = max(logl, new_logl)
         else:
             new_logl, _ = run_blopt()

@@ -53,6 +53,30 @@ class SprResult:
     best_nodes: Optional[tuple] = None  # the committed move's UNodes
 
 
+def local_edge_set(nodes, radius: int) -> set:
+    """pmatrix indices of every edge within ``radius`` edges of ``nodes``
+    — the changed neighborhood of a committed topology move (the
+    reference's `pll_utree_spr` reports exactly the changed branches for
+    selective updates, utree_moves.c:204-251)."""
+    out = set()
+    frontier = []
+    for nd in nodes:
+        for m in ([nd] if nd.is_tip else nd.ring()):
+            frontier.append((m, 0))
+    visited = set()
+    while frontier:
+        m, d = frontier.pop()
+        if id(m) in visited:
+            continue
+        visited.add(id(m))
+        out.add(m.pmatrix_index)
+        if d < radius:
+            b = m.back
+            for nxt in ([b] if b.is_tip else b.ring()):
+                frontier.append((nxt, d + 1))
+    return out
+
+
 def _model_from_partition(part, params_indices) -> dict:
     """Scorer model dict from a Partition's parameter state."""
     pidx = np.asarray(params_indices, np.int32).reshape(part.rate_cats)
@@ -112,11 +136,20 @@ def spr_round(tree: UTree, part, params_indices, *,
               radius: int = 5, capacity: Optional[int] = None,
               batch: int = 32, min_delta: float = 1e-9,
               candidates: Optional[List[Tuple[UNode, UNode]]] = None,
-              scorer=None) -> SprResult:
+              scorer=None, commit: int = 1) -> SprResult:
     """Evaluate an SPR neighborhood incrementally and apply the best
     improving move.  ``part`` is a Partition whose CLVs are assumed
     consistent with ``tree`` *or* will be made so by the initial full
     evaluation here.
+
+    ``commit`` > 1 applies up to that many improving moves per round, in
+    descending score order, skipping candidates whose neighborhoods
+    overlap an already-committed move; every extra commit is verified by
+    an exact incremental evaluation and rolled back if the composite
+    log-likelihood regresses (scores are measured against the pre-round
+    tree, so they go stale once the topology changes).  One round of
+    scoring then harvests several independent improvements — the lazy-SPR
+    batching that amortizes the neighborhood scoring cost.
 
     Returns an :class:`SprResult`; on improvement the tree and partition
     are left in the post-move state, otherwise restored exactly.
@@ -156,22 +189,71 @@ def spr_round(tree: UTree, part, params_indices, *,
     if best_logl <= logl0 + min_delta:
         return SprResult(logl0, logl0, False, len(enc), n_ops_max)
 
-    # commit the winning move with the ordinary dirty-subtree update
-    p, r = enc[best_i][0], enc[best_i][1]
-    changed = moves.spr(p, r)
-    part.update_prob_matrices(params_indices, [m for _, m in changed],
-                              [b for b, _ in changed])
-    dirty = inc.partial_traverse(root)
-    pops = inc.create_partial_operations(dirty)
-    # the committed subset can exceed the candidate cap (it includes the
-    # re-orientation to the canonical root): grow the pad, don't raise
-    part.update_partials(pops, pad_to=max(
-        cap, 1 << (len(pops) - 1).bit_length()))
-    logl_new = part.compute_edge_loglikelihood(
-        root.clv_index, root.scaler_index, root.back.clv_index,
-        root.back.scaler_index, root.pmatrix_index, params_indices)
+    def eval_root():
+        dirty = inc.partial_traverse(root)
+        pops = inc.create_partial_operations(dirty)
+        if pops:
+            # the committed subset can exceed the candidate cap (it
+            # includes the re-orientation to the canonical root): grow
+            # the pad, don't raise
+            part.update_partials(pops, pad_to=max(
+                cap, 1 << (len(pops) - 1).bit_length()))
+        logl = part.compute_edge_loglikelihood(
+            root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, params_indices)
+        return float(logl), dirty
+
+    # commit improving moves in descending score order (dirty-subtree
+    # updates); moves after the first are verified exactly and rolled
+    # back on regression
+    order = np.argsort(np.asarray(logls))[::-1]
+    logl_cur = logl0
+    committed: List[Tuple[UNode, UNode]] = []
+    blocked: set = set()
+    for ci in order:
+        if len(committed) >= commit:
+            break
+        if float(logls[ci]) <= logl0 + min_delta:
+            break
+        p, r = enc[ci][0], enc[ci][1]
+        if committed:
+            region = local_edge_set((p, r), 2)
+            if region & blocked:
+                continue  # overlaps an already-committed move
+        rb = moves.Rollback(moves.MOVE_SPR)
+        try:
+            changed = moves.spr_safe(p, r, rb)
+        except SprError:
+            continue  # stale candidate no longer applicable
+        part.update_prob_matrices(params_indices,
+                                  [m for _, m in changed],
+                                  [b for b, _ in changed])
+        logl_new, dirty = eval_root()
+        if logl_new > logl_cur + (0.0 if not committed else min_delta):
+            logl_cur = logl_new
+            committed.append((p, r))
+            blocked |= local_edge_set((p, r), 2)
+            continue
+        if not committed:
+            # the top-scored move must improve (scores are exact for the
+            # pre-round tree); a tiny summation-path discrepancy is the
+            # only way here — accept it to preserve the round contract
+            logl_cur = logl_new
+            committed.append((p, r))
+            blocked |= local_edge_set((p, r), 2)
+            continue
+        restored = moves.rollback_move(rb)
+        part.update_prob_matrices(params_indices,
+                                  [m for _, m in restored],
+                                  [b for b, _ in restored])
+        for nd in dirty:  # the verification overwrote these CLV rows
+            for m in nd.ring():
+                m.clv_valid = False
+    logl_new, _ = eval_root()  # no-op consistency pass after a rollback
+    flat = tuple(n for pair in committed for n in pair)
     return SprResult(logl0, float(logl_new), True, len(enc), n_ops_max,
-                     (p.node_index, r.node_index), (p, r))
+                     (committed[0][0].node_index,
+                      committed[0][1].node_index), flat)
 
 
 def encode_candidates(tree: UTree, candidates):

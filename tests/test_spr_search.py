@@ -237,3 +237,41 @@ def test_nni_round_matches_bruteforce_and_commits():
     want = _full_logl(tree_chk, part_chk)
     np.testing.assert_allclose(res.best_logl, want, atol=1e-8)
     assert res.best_logl >= res.logl0
+
+
+def test_spr_round_multi_commit():
+    """commit > 1 harvests several verified non-overlapping moves in one
+    scored round: the composite logL must beat the single-commit round,
+    state must be exactly consistent with a from-scratch evaluation, and
+    the tree must stay structurally valid."""
+    rng = np.random.default_rng(23)
+    newick = _random_tree(TIPS, rng)
+    seqs = _simulate(newick, rng)
+
+    tree1 = ut.parse_newick_string(newick)
+    part1 = _partition_for(tree1, seqs)
+    res1 = spr_search.spr_round(tree1, part1, [0] * CATS, radius=6,
+                                commit=1, min_delta=1e-9)
+
+    tree4 = ut.parse_newick_string(newick)
+    part4 = _partition_for(tree4, seqs)
+    res4 = spr_search.spr_round(tree4, part4, [0] * CATS, radius=6,
+                                commit=4, min_delta=1e-9)
+
+    assert res1.improved and res4.improved
+    assert res4.best_logl >= res1.best_logl - 1e-9, (res1.best_logl,
+                                                     res4.best_logl)
+    assert len(res4.best_nodes) >= 2  # at least the top move
+    # monotone vs the starting tree
+    assert res4.best_logl > res4.logl0
+
+    # exact consistency: from-scratch re-evaluation of the mutated tree
+    tree_chk = ut.parse_newick_string(ut.export_newick(tree4.root))
+    assert ut.check_integrity(tree_chk)
+    part_chk = _partition_for(tree_chk, seqs)
+    want = _full_logl(tree_chk, part_chk)
+    np.testing.assert_allclose(res4.best_logl, want, atol=1e-6)
+
+    # the partition state left behind is also exactly consistent
+    got = _full_logl(tree4, part4)
+    np.testing.assert_allclose(got, want, atol=1e-6)
