@@ -202,10 +202,11 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     trajectory = [logl]
     scorer = None
     # a radius-r candidate's dirty path is bounded by the prune->regraft
-    # path plus the eval-edge re-orientation: 2·radius + O(1) ops
-    # (measured ≤ 2·radius + 8 across the bench configs), so the envelope
-    # is pre-sized — no compile-resize storm at default radius
-    cap = 1 << (2 * radius + 8 - 1).bit_length()
+    # path plus the eval-edge re-orientation: 2·radius + O(1) ops.  The
+    # constant is pre-sized generously (measured 21 at radius 3 on a
+    # 1024-taxon tree — the re-orientation tail is larger than the round-2
+    # "+8" estimate), so the default radius never pays a scorer rebuild
+    cap = 1 << (2 * radius + 16 - 1).bit_length()
     rounds = 0
     improved = False
     for rounds in range(1, max_rounds + 1):
