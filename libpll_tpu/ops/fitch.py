@@ -232,6 +232,10 @@ def _chunk_fitch(vectors, costs, idx, c1, c2):
 def _stepwise_build_body(n_tips: int, axis_name, vecs_t, costs_t, back,
                          edge_rows, order):
     """The WHOLE greedy stepwise-addition build as ONE compiled program.
+    (Composition of :func:`_stepwise_range_body` over the full insertion
+    range and :func:`_stepwise_final_body`; the chunked driver in
+    search/stepwise.py dispatches the same range body in segments to
+    bound single-dispatch runtime on remote-TPU platforms.)
 
     Replaces the reference's host-side insertion loop
     (`stepwise.c:241-323`, 2 device dispatches + 1 readback per insertion
@@ -259,6 +263,23 @@ def _stepwise_build_body(n_tips: int, axis_name, vecs_t, costs_t, back,
     every device picks the identical edge and applies identical topology
     updates.  ``None`` (single device) adds no collectives.
     """
+    carry = _stepwise_range_body(n_tips, axis_name, vecs_t, costs_t, back,
+                                 edge_rows, order, jnp.int32(3),
+                                 jnp.int32(n_tips))
+    vecs_t, costs_t, back, _ = carry
+    return _stepwise_final_body(n_tips, axis_name, vecs_t, costs_t, back)
+
+
+def _stepwise_range_body(n_tips: int, axis_name, vecs_t, costs_t, back,
+                         edge_rows, order, lo, hi):
+    """Insertions ``lo..hi-1`` of the greedy build, with *traced* loop
+    bounds — one compiled program serves every dispatch segment.  The
+    3-taxon star initialization runs iff ``lo == 3`` (a `lax.cond`).
+    Chunked dispatch bounds the single-program device runtime, which the
+    remote-TPU runtime of this platform kills past a watchdog budget on
+    some configurations (the whole-build program works at 1 024 tips but
+    reproducibly crashes the worker at e.g. 2 048; the CPU backend runs
+    the identical program at every size)."""
     D = back.shape[0]
     E = edge_rows.shape[0]
     co1_np, co2_np = _ring_co_tables(n_tips)
@@ -314,7 +335,10 @@ def _stepwise_build_body(n_tips: int, axis_name, vecs_t, costs_t, back,
     # star ring ops (rows n..n+2) before the first insertion; the star
     # directions have tip children only, so this BFS runs exactly one wave
     star_mask = jnp.zeros(D, jnp.bool_).at[n_tips:n_tips + 3].set(True)
-    vecs_t, costs_t = run_bfs(vecs_t, costs_t, star_mask, back)
+    vecs_t, costs_t = jax.lax.cond(
+        lo == 3,
+        lambda vc: run_bfs(vc[0], vc[1], star_mask, back),
+        lambda vc: vc, (vecs_t, costs_t))
 
     def insert(i, carry):
         vecs_t, costs_t, back, edge_rows = carry
@@ -348,9 +372,11 @@ def _stepwise_build_body(n_tips: int, axis_name, vecs_t, costs_t, back,
         vecs_t, costs_t = run_bfs(vecs_t, costs_t, mask, back)
         return vecs_t, costs_t, back, edge_rows
 
-    vecs_t, costs_t, back, edge_rows = jax.lax.fori_loop(
-        3, n_tips, insert, (vecs_t, costs_t, back, edge_rows))
+    return jax.lax.fori_loop(
+        lo, hi, insert, (vecs_t, costs_t, back, edge_rows))
 
+
+def _stepwise_final_body(n_tips: int, axis_name, vecs_t, costs_t, back):
     # final per-partition score at the (arbitrary) edge of row n
     u = jnp.int32(n_tips)
     v = back[u]
@@ -396,3 +422,18 @@ def _stepwise_build(n_tips: int, vecs_t, costs_t, back, edge_rows, order):
     """Single-device jit of :func:`_stepwise_build_body`."""
     return _stepwise_build_body(n_tips, None, vecs_t, costs_t, back,
                                 edge_rows, order)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stepwise_insert_range(n_tips: int, vecs_t, costs_t, back, edge_rows,
+                           order, lo, hi):
+    """Single-device jit of :func:`_stepwise_range_body` (traced bounds:
+    one compile serves every dispatch segment)."""
+    return _stepwise_range_body(n_tips, None, vecs_t, costs_t, back,
+                                edge_rows, order, lo, hi)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stepwise_final(n_tips: int, vecs_t, costs_t, back):
+    """Single-device jit of :func:`_stepwise_final_body`."""
+    return _stepwise_final_body(n_tips, None, vecs_t, costs_t, back)

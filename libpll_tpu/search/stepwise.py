@@ -217,13 +217,38 @@ class StepwiseBuilder:
         vecs_t, costs_t = [], []
         for part in self.partitions:
             vecs = jnp.zeros((D,) + part.vectors.shape[1:], dtype=jnp.uint32)
-            vecs = vecs.at[:n].set(part.vectors[:n])
+            # through numpy: the packed vectors may be committed to an
+            # accelerator while this build runs under a CPU default_device
+            vecs = vecs.at[:n].set(np.asarray(part.vectors[:n]))
             vecs_t.append(vecs)
             costs_t.append(jnp.zeros((D,), dtype=jnp.uint32))
 
-        back, finals = fitch._stepwise_build(
-            n, tuple(vecs_t), tuple(costs_t), jnp.asarray(back0),
-            jnp.asarray(edge_rows0), jnp.asarray(order, jnp.int32))
+        # dispatch the insertion loop in segments (traced bounds — ONE
+        # compiled program regardless of segment count).  This platform's
+        # remote-TPU runtime kills any single dispatch past a ~60 s
+        # runtime budget (measured: 512 insertions in one 43 s dispatch
+        # succeed at 2 048 tips, ~1 000 insertions in one dispatch
+        # reproducibly crash the worker; the same program runs at every
+        # size on CPU).  Segment sizes adapt to the measured insertion
+        # rate so each dispatch targets ~15 s; the scalar readback per
+        # segment both fences the timing and costs one ~40 ms round trip.
+        import time as _time
+        TARGET_S = 15.0
+        carry = (tuple(vecs_t), tuple(costs_t), jnp.asarray(back0),
+                 jnp.asarray(edge_rows0))
+        order_j = jnp.asarray(order, jnp.int32)
+        lo, seg = 3, 64
+        while lo < n:
+            hi = min(n, lo + seg)
+            t0 = _time.perf_counter()
+            carry = fitch._stepwise_insert_range(
+                n, *carry, order_j, jnp.int32(lo), jnp.int32(hi))
+            int(carry[1][0][0])  # fence (block_until_ready is unreliable)
+            rate = (_time.perf_counter() - t0) / (hi - lo)
+            seg = int(max(64, min(4096, TARGET_S / max(rate, 1e-9))))
+            lo = hi
+        back, finals = fitch._stepwise_final(n, carry[0], carry[1],
+                                             carry[2])
         back = np.asarray(back)
         score = int(sum(int(f) for f in finals)
                     + sum(p.const_cost for p in self.partitions))
@@ -353,23 +378,48 @@ class StepwiseBuilder:
         return total
 
 
+# above this many taxa the accelerator device-loop build loses to the
+# host backend: the dirty-vector BFS depth (and with it the on-device
+# while_loop trip count) grows with the tree, while the CPU backend runs
+# the identical program with negligible per-trip overhead (measured at
+# 2048 x 2048: 14 s CPU vs 456 s TPU; at 500 x 10k the TPU wins 6.2x)
+_AUTO_CPU_TIPS = 1025
+
+
 def fastparsimony_stepwise(partitions: Sequence[FastParsimony],
                            labels: Sequence[str], seed: int,
-                           engine: str = "device",
+                           engine: str = "auto",
                            mesh=None) -> Tuple[UTree, int]:
     """reference pll_fastparsimony_stepwise (stepwise.c:337-546).
 
-    engine="device" (default) runs the whole greedy build as one compiled
-    program on the accelerator; engine="host" keeps the insertion loop on
-    the host with batched per-insertion device calls (the reference-shaped
-    dual path, kept for cross-validation).  Both are seed- and
-    tie-break-exact with the reference.  Passing a ``mesh`` shards the
-    Fitch word axis across its devices (one integer psum per insertion) —
-    the giant-alignment configuration; results are bit-identical.
+    engine="device" runs the whole greedy build as one compiled program
+    on the default backend; engine="host" keeps the insertion loop on the
+    host with batched per-insertion device calls (the reference-shaped
+    dual path, kept for cross-validation); engine="auto" (default) runs
+    the device build, placed on the host CPU backend above
+    ``_AUTO_CPU_TIPS`` taxa when the default backend is an accelerator
+    (same program, better backend for its while_loop-heavy profile; the
+    tree/score are bit-identical).  All are seed- and tie-break-exact
+    with the reference.  Passing a ``mesh`` shards the Fitch word axis
+    across its devices (one integer psum per insertion) — the
+    giant-alignment configuration; results are bit-identical.
     """
+    import jax
+
     builder = StepwiseBuilder(partitions, labels)
     if mesh is not None:
         return builder.build_device_sharded(seed, mesh)
+    if engine == "auto":
+        if (len(labels) > _AUTO_CPU_TIPS
+                and jax.devices()[0].platform != "cpu"):
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:  # cpu backend masked by jax_platforms
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return builder.build_device(seed)
+        return builder.build_device(seed)
     if engine == "device":
         return builder.build_device(seed)
     if engine == "host":

@@ -33,7 +33,9 @@ sys.path.insert(0, "tests")
 import jax
 
 if platform:
-    jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_platforms",
+                  platform if platform == "cpu"
+                  else platform + ",cpu")
 print("platform:", jax.devices()[0].platform, flush=True)
 
 import jax.numpy as jnp
@@ -155,12 +157,15 @@ def main():
         assert abs(res.logl - want) <= max(budget, 1e-6 * abs(want) * 5), \
             (res.logl, want)
 
-        from test_stepwise import _oracle_stepwise
-        t0 = time.perf_counter()
-        ref_pscore = _oracle_stepwise([data[l] for l in labels], labels, 42)
-        t_sw = time.perf_counter() - t0
-        print(f"reference stepwise (1 core): {t_sw:.1f}s  score={ref_pscore}"
-              f"  (ours: {res.timings['stepwise']:.1f}s incl. compile)")
+        if tips <= 2048:  # the single-core O(n^2) build takes hours above
+            from test_stepwise import _oracle_stepwise
+            t0 = time.perf_counter()
+            ref_pscore = _oracle_stepwise([data[l] for l in labels],
+                                          labels, 42)
+            t_sw = time.perf_counter() - t0
+            print(f"reference stepwise (1 core): {t_sw:.1f}s  "
+                  f"score={ref_pscore}"
+                  f"  (ours: {res.timings['stepwise']:.1f}s incl. compile)")
 
 
 if __name__ == "__main__":

@@ -33,7 +33,9 @@ sys.path.insert(0, ".")
 
 import jax
 if len(sys.argv) > 3:
-    jax.config.update("jax_platforms", sys.argv[3])
+    jax.config.update("jax_platforms",
+                  sys.argv[3] if sys.argv[3] == "cpu"
+                  else sys.argv[3] + ",cpu")
 print("platform:", jax.devices()[0].platform)
 
 rng = np.random.default_rng(7)
