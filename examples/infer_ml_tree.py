@@ -5,6 +5,7 @@ example, as one call."""
 
 import numpy as np
 
+import _common  # noqa: F401  (sys.path + CPU default for examples)
 from libpll_tpu.search.infer import infer_tree
 from libpll_tpu.tree import utree as ut
 

@@ -13,7 +13,12 @@ Run on CPU with a virtual mesh:
 On a real TPU pod slice the same code shards across chips.
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 from jax.sharding import Mesh
