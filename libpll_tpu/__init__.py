@@ -19,6 +19,7 @@ _jax.config.update("jax_enable_x64", True)
 # trade precision override this per-call.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+from .engine.modelopt import ModelOptResult, optimize_model
 from .engine.partition import (ASC_FELSENSTEIN, ASC_LEWIS, ASC_NONE,
                                ASC_STAMATAKIS, Operation, Partition)
 from .errors import PllError

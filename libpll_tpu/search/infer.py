@@ -47,6 +47,7 @@ class InferResult:
     rounds: int
     trajectory: List[float] = field(default_factory=list)
     timings: Dict[str, float] = field(default_factory=dict)
+    model: Optional[object] = None  # ModelOptResult when optimize_model=True
 
 
 def infer_tree(sequences: Dict[str, str], *, states: int = 4,
@@ -58,7 +59,9 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
                blopt_sweeps: int = 2, spr_batch: int = 32,
                min_delta: float = 1e-6, compress: bool = True,
                moves: str = "spr", mesh=None, local_blopt: int = 3,
-               spr_commit: int = 8, dtype=jnp.float64) -> InferResult:
+               spr_commit: int = 8, optimize_model: bool = False,
+               model_rounds: int = 2, opt_pinv: bool = False,
+               dtype=jnp.float64) -> InferResult:
     """Infer an ML tree for ``sequences`` (label -> aligned sequence).
 
     Model: GTR(+Γ) with fixed ``frequencies``/``subst_params`` (defaults:
@@ -85,6 +88,14 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     improving moves per scored round (each verified exactly, rolled back
     on regression) — one neighborhood scoring pass then harvests several
     independent improvements.
+    ``optimize_model`` additionally fits the model itself (GTR
+    exchangeabilities + frequencies by L-BFGS through the differentiable
+    eigendecomposition, Γ shape by Brent over ``model_rounds`` coordinate
+    rounds, p-inv with ``opt_pinv`` — engine/modelopt.py): one fit on the
+    branch-length-optimized starting tree and one refit after the
+    topology search converges, each followed by a fresh Newton sweep.
+    The fixed ``frequencies``/``subst_params``/``alpha`` arguments become
+    the starting point.
     """
     from ..io.compress import compress_site_patterns
 
@@ -200,6 +211,29 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
     timings["blopt"] = time.perf_counter() - t0
     timings["spr"] = 0.0
     trajectory = [logl]
+
+    mres = None
+
+    def run_modelopt():
+        # fit the model on the current tree, then re-optimize branch
+        # lengths under the new model (they were tuned under the old one)
+        nonlocal mres, logl
+        from ..engine import modelopt
+        t0 = time.perf_counter()
+        mres = modelopt.optimize_model(
+            part, tree, opt_alpha=rate_cats > 1, opt_pinv=opt_pinv,
+            alpha=mres.alpha if mres is not None else alpha,
+            rounds=model_rounds, dtype=dtype)
+        timings["modelopt"] = (timings.get("modelopt", 0.0)
+                               + time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        new_logl, _ = run_blopt()
+        timings["blopt"] += time.perf_counter() - t0
+        logl = max(logl, mres.logl, new_logl)
+        trajectory.append(logl)
+
+    if optimize_model:
+        run_modelopt()
     scorer = None
     # a radius-r candidate's dirty path is bounded by the prune->regraft
     # path plus the eval-edge re-orientation: 2·radius + O(1) ops.  The
@@ -258,5 +292,9 @@ def infer_tree(sequences: Dict[str, str], *, states: int = 4,
         logl = max(logl, new_logl)
         trajectory.append(logl)
 
+    if optimize_model:
+        # refit on the final topology (branch re-sweep included)
+        run_modelopt()
+
     return InferResult(tree, part, float(logl), int(pscore), rounds,
-                       trajectory, timings)
+                       trajectory, timings, model=mres)
