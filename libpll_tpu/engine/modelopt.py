@@ -227,9 +227,11 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
     gradient parameters — exchangeabilities, frequencies, and in
     ``rate_mode="free"`` the category rates/weights — and (b) Brent passes
     for alpha (``rate_mode="gamma"``) and p-inv, until the logL gain of a
-    full round drops under ``min_delta``.  ``alpha`` seeds the Γ search
-    (default: the shape whose discretization matches the partition's
-    current rates, else 1.0).  On exit the partition's ``subst_params``,
+    full round drops under ``min_delta``.  An explicit ``alpha`` re-seeds
+    the Γ discretization up front; by default the partition's current
+    rates stand until the Brent pass improves on them (the result's
+    ``alpha`` is then None unless Brent accepted a shape).  On exit the
+    partition's ``subst_params``,
     ``frequencies``, ``rates``, ``rate_weights`` and ``prop_invar`` are
     updated through the ordinary setters, so the eigen cache invalidates
     exactly like the reference's (src/models.c:373,397).
@@ -258,9 +260,9 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
     rweights = np.asarray(partition.rate_weights, np.float64)
     pinv = float(partition.prop_invar[0])
     C = partition.rate_cats
-    if alpha is None:
-        alpha = 1.0
-    if rate_mode == "gamma" and opt_alpha:
+    # an explicit alpha re-seeds the Γ discretization; otherwise the
+    # partition's current rates stand until Brent improves on them
+    if alpha is not None and rate_mode == "gamma" and opt_alpha and C > 1:
         rates = compute_gamma_cats(alpha, C)
 
     bl = jnp.asarray(branches, f64)
@@ -384,6 +386,7 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
 
     return ModelOptResult(
         logl=float(logl), subst_params=subst, frequencies=freqs,
-        alpha=(float(alpha) if rate_mode == "gamma" else None),
+        alpha=(float(alpha) if rate_mode == "gamma" and alpha is not None
+               else None),
         rates=rates, rate_weights=rweights, prop_invar=float(pinv),
         trajectory=trajectory)
