@@ -200,3 +200,39 @@ def test_site_sharded_blopt_matches_single_device():
                                                 max_sweeps=2)
     assert s1 == s2
     np.testing.assert_allclose(l2, l1, rtol=1e-9)
+
+
+def test_modelopt_runs_sharded():
+    """optimize_model runs unmodified on a site-sharded partition (the
+    gradient/L-BFGS program partitions under GSPMD) and reproduces the
+    single-device fit."""
+    from jax.sharding import Mesh
+
+    from libpll_tpu.engine import modelopt
+
+    tree, part, ops, pidx = _build_partition(10, 64)
+    start_params = part.subst_params[0].copy()
+    start_freqs = part.frequencies[0].copy()
+
+    def rebuild():
+        t = ut.parse_newick_string(ut.export_newick(tree.root))
+        p2 = pll.Partition(10, 8, 4, 64, 1, part.prob_matrices, 4, 8)
+        p2.set_frequencies(0, start_freqs)
+        p2.set_subst_params(0, start_params)
+        p2.set_category_rates(compute_gamma_cats(1.0, 4))
+        p2.clv = p2.clv.at[:10].set(part.clv[:10])
+        p2._tip_masks = part._tip_masks.copy()
+        return t, p2
+
+    t1, p1 = rebuild()
+    res_single = modelopt.optimize_model(p1, t1, rounds=1, lbfgs_steps=20)
+
+    t2, p2 = rebuild()
+    mesh = Mesh(np.asarray(jax.devices()), ("sites",))
+    pmesh.shard_partition(p2, mesh)
+    res_sharded = modelopt.optimize_model(p2, t2, rounds=1, lbfgs_steps=20)
+
+    np.testing.assert_allclose(res_sharded.logl, res_single.logl,
+                               rtol=1e-9)
+    np.testing.assert_allclose(res_sharded.frequencies,
+                               res_single.frequencies, rtol=1e-6)
