@@ -109,18 +109,32 @@ def giant():
                                              interpret=not on_tpu)
         t0 = time.perf_counter()
         s = float(score(model))
-        return s, time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        if not on_tpu:  # interpret mode: skip the warm-eval rerun
+            return s, dt, dt
+        t0 = time.perf_counter()
+        s2 = float(score(model))
+        assert s == s2, (s, s2)
+        return s, dt, time.perf_counter() - t0
 
     if on_tpu:
-        tips, sites = 10240, 131072
-        topo, model0, clv, _ = _build_flagship(tips, sites)
-        masks = masks_of(topo, clv)
-        del clv
-        s, dt = run_sharded_dyn(topo, model0, masks, 1)
-        stats = jax.devices()[0].memory_stats() or {}
-        print(f"giant {tips} x {sites} (the 1M/8 per-device share): "
-              f"logL={s:.3f} ({dt:.1f}s incl. compile)  HBM in use: "
-              f"{stats.get('bytes_in_use', 0) / 2**30:.2f} GiB", flush=True)
+        # tip data synthesized directly as ambiguity masks (tip_masks=True)
+        # — the full-CLV builder would stage ~172 GB host-side at the 1M
+        # target just to derive the nibble slabs
+        tips = 10240
+        for sites, label in ((131072, "the 1M/8 per-device share"),
+                             (1048576, "the FULL 1M-site target, 1 chip")):
+            topo, model0, masks, _ = _build_flagship(tips, sites,
+                                                     tip_masks=True)
+            slab_gib = tips * sites * 0.5 / 2**30  # nibble-packed tips
+            s, dt, dt2 = run_sharded_dyn(topo, model0, masks, 1)
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = (f"{stats['bytes_in_use'] / 2**30:.2f} GiB HBM in use"
+                   if "bytes_in_use" in stats else
+                   f"tip slabs {slab_gib:.2f} GiB on device")
+            print(f"giant {tips} x {sites} ({label}): logL={s:.3f} "
+                  f"({dt:.1f}s incl. compile, warm eval {dt2:.2f}s)  "
+                  f"{hbm}", flush=True)
         return
 
     # (a) 10 240-taxon sharded XLA forward, mesh 4 vs 8, same data
@@ -158,7 +172,7 @@ def giant():
     del clv
     results = []
     for n in (4, 8):
-        s, dt = run_sharded_dyn(topo, model0, masks, n)
+        s, dt, _ = run_sharded_dyn(topo, model0, masks, n)
         results.append(s)
         print(f"giant dyn score {tips} x {sites} on {n} devices: "
               f"logL={s:.3f} ({dt:.1f}s incl. compile)", flush=True)
