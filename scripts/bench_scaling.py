@@ -120,21 +120,39 @@ def giant():
     if on_tpu:
         # tip data synthesized directly as ambiguity masks (tip_masks=True)
         # — the full-CLV builder would stage ~172 GB host-side at the 1M
-        # target just to derive the nibble slabs
+        # target just to derive the nibble slabs.  Single-chip runs use the
+        # plain dyn scorer (the sharded wrapper is the same per-shard
+        # program; its mechanism is exercised by dryrun_multichip and the
+        # CPU branch below).
+        from libpll_tpu.engine.evaluate import make_score_unbounded
+
         tips = 10240
-        for sites, label in ((131072, "the 1M/8 per-device share"),
-                             (1048576, "the FULL 1M-site target, 1 chip")):
+        sizes = [int(a) for a in sys.argv[2:] if a.isdigit()] or \
+            [131072, 1048576]
+        for sites in sizes:
+            t0 = time.perf_counter()
             topo, model0, masks, _ = _build_flagship(tips, sites,
                                                      tip_masks=True)
+            t_build = time.perf_counter() - t0
             slab_gib = tips * sites * 0.5 / 2**30  # nibble-packed tips
-            s, dt, dt2 = run_sharded_dyn(topo, model0, masks, 1)
+            t0 = time.perf_counter()
+            score = make_score_unbounded(topo, 4, 4, masks)
+            t_pack = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s = float(score(model0))
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s2 = float(score(model0))
+            dt2 = time.perf_counter() - t0
+            assert s == s2, (s, s2)
             stats = jax.devices()[0].memory_stats() or {}
             hbm = (f"{stats['bytes_in_use'] / 2**30:.2f} GiB HBM in use"
                    if "bytes_in_use" in stats else
                    f"tip slabs {slab_gib:.2f} GiB on device")
-            print(f"giant {tips} x {sites} ({label}): logL={s:.3f} "
-                  f"({dt:.1f}s incl. compile, warm eval {dt2:.2f}s)  "
-                  f"{hbm}", flush=True)
+            print(f"giant {tips} x {sites}: logL={s:.3f} "
+                  f"(host build {t_build:.0f}s, pack+schedule {t_pack:.0f}s,"
+                  f" first eval {dt:.1f}s incl. compile, warm eval "
+                  f"{dt2:.2f}s)  {hbm}", flush=True)
         return
 
     # (a) 10 240-taxon sharded XLA forward, mesh 4 vs 8, same data
