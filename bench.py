@@ -18,12 +18,19 @@ precision): 56.2e6 site-rate-node updates/s, 1618 ms per full-tree eval
 (scripts/bench_reference.py).
 
 Timing methodology: on this platform `block_until_ready` does not reliably
-fence device work, so each measurement jits a chain of K data-dependent
-evaluations ending in a scalar readback and reports (t_K − t_1)/(K − 1),
-which also cancels the host→device readback latency.
+fence device work, so each measurement jits a `lax.scan` chain of K
+data-dependent evaluations ending in a scalar readback.  Two chain lengths
+K1 < K2 are timed in INTERLEAVED pairs and each pair yields one estimate
+dt_i = (tK2_i − tK1_i)/(K2 − K1), which cancels dispatch + readback
+latency; the headline is the MEDIAN of the pair estimates (robust to
+platform drift between trials — the round-3 8% headline wobble came from
+best-of-5 on a single short chain) and the (min, p25, p75, max) band is
+printed alongside so run-to-run variance is visible instead of silently
+moving the headline.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -34,7 +41,8 @@ TIPS = 64
 SITES = 262144
 RATE_CATS = 4
 STATES = 4
-CHAIN = 9
+K1, K2 = 2, 26   # chain lengths; one estimate per (K2 − K1) = 24 evals
+PAIRS = 16       # interleaved trial pairs; headline = median of pairs
 
 
 def main() -> None:
@@ -59,28 +67,44 @@ def main() -> None:
     def chain(k):
         @jax.jit
         def f(model, tp):
-            total = jnp.zeros((), jnp.float32)
-            m = dict(model)
-            for _ in range(k):
+            def body(carry, _):
+                total, bl = carry
+                m = dict(model)
+                m["branch_lengths"] = bl
                 s = score(m, tp)
-                total = total + s.astype(jnp.float32)
                 # serialize iterations through the branch lengths
-                m["branch_lengths"] = model["branch_lengths"] + s * 1e-30
+                bl0 = model["branch_lengths"]
+                return (total + s.astype(jnp.float32),
+                        bl0 + (s * 1e-30).astype(bl0.dtype)), None
+
+            init = (jnp.zeros((), jnp.float32), model["branch_lengths"])
+            (total, _), _ = jax.lax.scan(body, init, None, length=k)
             return total
         return f
 
-    def timeit(f, reps=5):
-        float(f(model, tp))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(model, tp))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    f1, f2 = chain(K1), chain(K2)
+    # compile + warm both
+    float(f1(model, tp))
+    float(f2(model, tp))
 
-    t1 = timeit(chain(1))
-    tk = timeit(chain(CHAIN))
-    dt = (tk - t1) / (CHAIN - 1)
+    def once(f):
+        t0 = time.perf_counter()
+        float(f(model, tp))
+        return time.perf_counter() - t0
+
+    dts = []
+    for i in range(PAIRS):
+        # alternate order within pairs so slow platform drift cancels
+        if i % 2 == 0:
+            a = once(f1)
+            b = once(f2)
+        else:
+            b = once(f2)
+            a = once(f1)
+        dts.append((b - a) / (K2 - K1))
+    dts.sort()
+    dt = statistics.median(dts)
+    q = statistics.quantiles(dts, n=4)
 
     n_ops = TIPS - 2
     updates = n_ops * SITES * RATE_CATS
@@ -95,6 +119,10 @@ def main() -> None:
           f"{n_ops} ops x {SITES} sites x {RATE_CATS} rates "
           f"({TIPS} taxa, float32 vpu kernel, nibble tips); reference "
           f"AVX2 1-core same config: 1618 ms", file=sys.stderr)
+    print(f"# band over {PAIRS} interleaved pairs (ms/eval): "
+          f"min {dts[0]*1e3:.2f}  p25 {q[0]*1e3:.2f}  "
+          f"median {dt*1e3:.2f}  p75 {q[2]*1e3:.2f}  max {dts[-1]*1e3:.2f}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,12 @@ def giant():
     exact 1M/8 per-device share of the target, and live HBM-in-use is
     printed (nibble tip slabs dominate: 10 240 × 131 072 × 0.5 B ≈
     0.67 GiB/device).
+
+    Host-RAM note: the tip_masks builder stages a [tips, sites] uint32
+    mask array host-side — 40 GiB at the default 10 240 × 1 M TPU target
+    (plus per-segment staging inside pack_tipchars_dyn).  This avoids the
+    ~172 GB full-CLV tensor but still assumes a large-memory host; the
+    mask-array size is logged below so OOMs are diagnosable.
     """
     from libpll_tpu.engine.evaluate import (make_forward,
                                             make_score_unbounded_sharded)
@@ -109,13 +115,7 @@ def giant():
                                              interpret=not on_tpu)
         t0 = time.perf_counter()
         s = float(score(model))
-        dt = time.perf_counter() - t0
-        if not on_tpu:  # interpret mode: skip the warm-eval rerun
-            return s, dt, dt
-        t0 = time.perf_counter()
-        s2 = float(score(model))
-        assert s == s2, (s, s2)
-        return s, dt, time.perf_counter() - t0
+        return s, time.perf_counter() - t0
 
     if on_tpu:
         # tip data synthesized directly as ambiguity masks (tip_masks=True)
@@ -135,6 +135,8 @@ def giant():
                                                      tip_masks=True)
             t_build = time.perf_counter() - t0
             slab_gib = tips * sites * 0.5 / 2**30  # nibble-packed tips
+            print(f"  host mask staging: {tips * sites * 4 / 2**30:.1f} GiB "
+                  f"uint32 [tips, sites] (tip_masks builder)", flush=True)
             t0 = time.perf_counter()
             score = make_score_unbounded(topo, 4, 4, masks)
             t_pack = time.perf_counter() - t0
@@ -144,7 +146,7 @@ def giant():
             t0 = time.perf_counter()
             s2 = float(score(model0))
             dt2 = time.perf_counter() - t0
-            assert s == s2, (s, s2)
+            assert abs(s - s2) <= 1e-6 * abs(s), (s, s2)
             stats = jax.devices()[0].memory_stats() or {}
             hbm = (f"{stats['bytes_in_use'] / 2**30:.2f} GiB HBM in use"
                    if "bytes_in_use" in stats else
@@ -190,7 +192,7 @@ def giant():
     del clv
     results = []
     for n in (4, 8):
-        s, dt, _ = run_sharded_dyn(topo, model0, masks, n)
+        s, dt = run_sharded_dyn(topo, model0, masks, n)
         results.append(s)
         print(f"giant dyn score {tips} x {sites} on {n} devices: "
               f"logL={s:.3f} ({dt:.1f}s incl. compile)", flush=True)

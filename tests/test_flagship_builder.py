@@ -43,8 +43,20 @@ def test_tip_masks_builder_matches_clv_semantics():
     assert abs(float(logl_fwd) - logl_dyn) <= 1e-6 * abs(logl_dyn) + 1e-3
 
 
-def test_tip_masks_builder_chunked_draws_are_deterministic():
-    # same seed -> same masks regardless of call count (chunked rng draws)
+def test_tip_masks_builder_is_deterministic():
+    # same seed + args -> same masks
     _, _, m1, _ = _build_flagship(8, 64, tip_masks=True, seed=11)
     _, _, m2, _ = _build_flagship(8, 64, tip_masks=True, seed=11)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_tip_masks_chunk_layout_invariance():
+    # chunked row draws must equal one unchunked draw from the same rng
+    # state — pins the chunk-boundary behavior of _draw_tip_masks (the
+    # giant-config builder stages ~256 MB chunks at the 1M-site target).
+    from __graft_entry__ import _draw_tip_masks
+
+    for step in (1, 3, 7, 16):
+        ref = _draw_tip_masks(np.random.default_rng(5), 16, 33, step=16)
+        got = _draw_tip_masks(np.random.default_rng(5), 16, 33, step=step)
+        np.testing.assert_array_equal(ref, got)
