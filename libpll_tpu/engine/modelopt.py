@@ -142,7 +142,7 @@ def brent_maximize(fn, lo: float, hi: float, *, xtol: float = 1e-4,
 # ---------------------------------------------------------------------------
 # the differentiable scorer
 # ---------------------------------------------------------------------------
-def make_param_score(partition, tree, *, dtype=None):
+def make_param_score(partition, tree, *, params_indices=None, dtype=None):
     """Build ``score(log_subst, freq_logits, rates, rate_weights, pinv,
     branch_lengths) -> logL`` — the full forward pass as a differentiable
     function of the model parameters (schedule and tip data closed over).
@@ -150,13 +150,26 @@ def make_param_score(partition, tree, *, dtype=None):
     The eigendecomposition runs inside the traced program so gradients
     flow from logL back to the exchangeabilities and frequencies; rates /
     weights / p-inv / branch lengths are plain inputs (differentiable too,
-    and reusable as data by the Brent passes).  Restricted to a single
-    rate matrix (``rate_matrices == 1``), the model the GTR optimizer is
-    defined for; LG4-style mixtures keep their fixed empirical matrices.
+    and reusable as data by the Brent passes).
+
+    Mixture partitions (``rate_matrices > 1``, the LG4M/LG4X pattern of
+    reference examples/lg4/lg4.c:295-370) are supported: ``log_subst`` and
+    ``freq_logits`` carry a leading rate-matrix axis, every matrix is
+    eigendecomposed inside the trace (vmap), and ``params_indices`` maps
+    each Γ category to its matrix (default: category k -> matrix k % R,
+    the LG4 convention).  ``pinv`` stays a single shared proportion.
     """
-    if partition.rate_matrices != 1:
-        raise ParamError(
-            "model optimization requires a single-rate-matrix partition")
+    R = partition.rate_matrices
+    if params_indices is None:
+        pidx = (np.zeros(partition.rate_cats, np.int32) if R == 1 else
+                np.arange(partition.rate_cats, dtype=np.int32) % R)
+    else:
+        pidx = np.asarray(params_indices, np.int32)
+        if pidx.shape != (partition.rate_cats,):
+            raise ParamError("params_indices must have rate_cats entries")
+        if pidx.min() < 0 or pidx.max() >= R:
+            raise ParamError("params_indices out of range")
+    pidx_j = jnp.asarray(pidx)
     dtype = dtype or partition.dtype
     topo, branches = topology_from_tree(
         tree, partition.sites, scale_mode=partition.scale_mode,
@@ -176,19 +189,24 @@ def make_param_score(partition, tree, *, dtype=None):
 
     def score(log_subst, freq_logits, rates, rate_weights, pinv,
               branch_lengths):
+        # 1-D inputs are the single-matrix convenience form
+        log_subst = jnp.atleast_2d(log_subst)
+        freq_logits = jnp.atleast_2d(freq_logits)
+        # [R, E-1] free logs -> [R, E] with the last rate pinned to 1
         subst = jnp.concatenate(
-            [jnp.exp(log_subst), jnp.ones((1,), log_subst.dtype)])
-        freqs = jax.nn.softmax(freq_logits)
-        w, left, right = eigen_decompose_jax(subst, freqs)
+            [jnp.exp(log_subst), jnp.ones((R, 1), log_subst.dtype)],
+            axis=1)
+        freqs = jax.nn.softmax(freq_logits, axis=-1)  # [R, S]
+        w, left, right = jax.vmap(eigen_decompose_jax)(subst, freqs)
         model = {
             "branch_lengths": branch_lengths.astype(dtype),
             "rates": rates.astype(dtype),
-            "prop_invar": pinv[None].astype(dtype),
-            "params_indices": jnp.zeros((C,), jnp.int32),
-            "eigenvals": w[None].astype(dtype),
-            "left": left[None].astype(dtype),
-            "right": right[None].astype(dtype),
-            "freqs_pc": jnp.broadcast_to(freqs.astype(dtype), (C, S)),
+            "prop_invar": jnp.broadcast_to(pinv.astype(dtype), (R,)),
+            "params_indices": pidx_j,
+            "eigenvals": w.astype(dtype),
+            "left": left.astype(dtype),
+            "right": right.astype(dtype),
+            "freqs_pc": freqs[pidx_j].astype(dtype),
             "prop_invar_pc": jnp.broadcast_to(pinv.astype(dtype), (C,)),
             "rate_weights": rate_weights.astype(dtype),
             "pattern_weights": pattern_weights,
@@ -202,7 +220,10 @@ def make_param_score(partition, tree, *, dtype=None):
 
 def _jitter_flat(params: np.ndarray) -> np.ndarray:
     """Deterministically perturb exactly-equal exchangeabilities: eigh
-    gradients are undefined at the degenerate (JC-like) point."""
+    gradients are undefined at the degenerate (JC-like) point.  2-D input
+    ([rate_matrices, E]) is jittered row by row."""
+    if params.ndim == 2:
+        return np.stack([_jitter_flat(r) for r in params])
     if np.ptp(params) > 1e-9 * abs(params).max():
         return params
     k = np.arange(params.shape[0], dtype=np.float64)
@@ -219,7 +240,7 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
                    alpha_bounds=(0.02, 100.0), pinv_max: float = 0.99,
                    rounds: int = 3, lbfgs_steps: int = 80,
                    gtol: float = 1e-3, min_delta: float = 1e-4,
-                   dtype=None) -> ModelOptResult:
+                   params_indices=None, dtype=None) -> ModelOptResult:
     """Optimize the partition's model parameters in place on the fixed
     topology/branch lengths of ``tree``; returns a :class:`ModelOptResult`.
 
@@ -249,13 +270,18 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
         if not np.any(partition.invariant >= 0):
             raise InvarError("no invariant sites found")
 
-    score, branches = make_param_score(partition, tree, dtype=dtype)
+    score, branches = make_param_score(partition, tree,
+                                       params_indices=params_indices,
+                                       dtype=dtype)
     f64 = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
-    # current parameter state
-    subst = _jitter_flat(np.asarray(partition.subst_params[0], np.float64))
-    subst = subst / subst[-1]
-    freqs = np.asarray(partition.frequencies[0], np.float64)
+    # current parameter state ([R, E] / [R, S]; R = rate_matrices — the
+    # LG4-style mixtures optimize weights/rates/freqs over fixed
+    # per-category empirical matrices, reference examples/lg4/lg4.c)
+    R = partition.rate_matrices
+    subst = _jitter_flat(np.asarray(partition.subst_params, np.float64))
+    subst = subst / subst[:, -1:]
+    freqs = np.asarray(partition.frequencies, np.float64)
     rates = np.asarray(partition.rates, np.float64)
     rweights = np.asarray(partition.rate_weights, np.float64)
     pinv = float(partition.prop_invar[0])
@@ -278,7 +304,7 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
 
     def full_args(p, rates_np, pinv_val):
         """Merge optimized leaves with the fixed current values."""
-        ls = p.get("log_subst", jnp.asarray(np.log(subst[:-1]), f64))
+        ls = p.get("log_subst", jnp.asarray(np.log(subst[:, :-1]), f64))
         fl = p.get("freq_logits", jnp.asarray(np.log(freqs), f64))
         if rate_mode == "free":
             r = jnp.exp(p["log_rates"])
@@ -319,7 +345,7 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
     score_j = jax.jit(score)
 
     def eval_at(rates_np, pinv_val):
-        ls = jnp.asarray(np.log(subst[:-1]), f64)
+        ls = jnp.asarray(np.log(subst[:, :-1]), f64)
         fl = jnp.asarray(np.log(freqs), f64)
         return float(score_j(ls, fl, jnp.asarray(rates_np, f64),
                              jnp.asarray(rweights, f64),
@@ -334,7 +360,7 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
         if grad_keys:
             p0: Dict[str, jnp.ndarray] = {}
             if "log_subst" in grad_keys:
-                p0["log_subst"] = jnp.asarray(np.log(subst[:-1]), f64)
+                p0["log_subst"] = jnp.asarray(np.log(subst[:, :-1]), f64)
             if "freq_logits" in grad_keys:
                 p0["freq_logits"] = jnp.asarray(np.log(freqs), f64)
             if rate_mode == "free":
@@ -346,10 +372,10 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
                 if "log_subst" in p:
                     subst = np.concatenate(
                         [np.exp(np.asarray(p["log_subst"], np.float64)),
-                         [1.0]])
+                         np.ones((R, 1))], axis=1)
                 if "freq_logits" in p:
                     e = np.exp(np.asarray(p["freq_logits"], np.float64))
-                    freqs = e / e.sum()
+                    freqs = e / e.sum(axis=1, keepdims=True)
                 if rate_mode == "free":
                     r = np.exp(np.asarray(p["log_rates"], np.float64))
                     e = np.exp(np.asarray(p["rweight_logits"], np.float64))
@@ -377,15 +403,19 @@ def optimize_model(partition, tree, *, opt_subst: bool = True,
             break
 
     # write back through the ordinary setters (invalidates the eigen cache)
-    partition.set_subst_params(0, subst)
-    partition.set_frequencies(0, freqs)
+    for k in range(R):
+        partition.set_subst_params(k, subst[k])
+        partition.set_frequencies(k, freqs[k])
     partition.set_category_rates(rates)
     partition.set_category_weights(rweights)
     if opt_pinv and pinv > 0.0:
-        partition.update_invariant_sites_proportion(0, pinv)
+        for k in range(R):
+            partition.update_invariant_sites_proportion(k, pinv)
 
     return ModelOptResult(
-        logl=float(logl), subst_params=subst, frequencies=freqs,
+        logl=float(logl),
+        subst_params=(subst[0] if R == 1 else subst),
+        frequencies=(freqs[0] if R == 1 else freqs),
         alpha=(float(alpha) if rate_mode == "gamma" and alpha is not None
                else None),
         rates=rates, rate_weights=rweights, prop_invar=float(pinv),

@@ -138,6 +138,31 @@ def lane_pack_coeff(coeff: jax.Array, lane_width: int) -> jax.Array:
     return packed.reshape(g, cs, per * w)
 
 
+def mxu_dot(a: jax.Array, x: jax.Array, dtype, precision: str) -> jax.Array:
+    """In-kernel MXU dot at a named precision tier.
+
+    ``"highest"`` is f32-exact (≈6 bf16 MXU passes); ``"high"`` is bf16x3
+    — both operands split into bf16 hi/lo halves and the three significant
+    cross products accumulated in f32 (3 MXU passes, ~2× the throughput of
+    "highest"; the dropped lo·lo term is below f32 ulp).  Implemented
+    manually because Mosaic's dot lowering accepts only DEFAULT/HIGHEST;
+    ``"default"`` (1 bf16-grade pass) passes through."""
+    if precision != "high":
+        return jnp.dot(a, x, preferred_element_type=dtype,
+                       precision=precision)
+    f32 = jnp.float32
+    ah = a.astype(jnp.bfloat16)
+    al = (a.astype(f32) - ah.astype(f32)).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x.astype(f32) - xh.astype(f32)).astype(jnp.bfloat16)
+    # explicit DEFAULT: bf16 operands with an inherited HIGHEST would ask
+    # Mosaic for an fp32-contract matmul on bf16 inputs (rejected)
+    acc = jnp.dot(ah, xh, preferred_element_type=f32, precision="default")
+    acc += jnp.dot(ah, xl, preferred_element_type=f32, precision="default")
+    acc += jnp.dot(al, xh, preferred_element_type=f32, precision="default")
+    return acc.astype(dtype)
+
+
 def make_contract(impl: str, states: int, rate_cats: int, dtype,
                   mxu_precision: str = "highest"):
     """In-kernel contraction: child CLV block [C*S, bl] -> parent block.
@@ -155,9 +180,8 @@ def make_contract(impl: str, states: int, rate_cats: int, dtype,
     def contract(coeff_ref, m, x):
         g, off = m // per, (m % per) * w
         if impl == "mxu":
-            return jnp.dot(coeff_ref[g, :, off:off + w], x,
-                           preferred_element_type=dtype,
-                           precision=mxu_precision)
+            return mxu_dot(coeff_ref[g, :, off:off + w], x, dtype,
+                           mxu_precision)
         acc = coeff_ref[g, :, off:off + 1] * x
         for d in range(1, states):
             shift = np.int32((cs - d * rate_cats) % cs)

@@ -38,7 +38,7 @@ from ..utils.constants import (SCALE_NONE, SCALE_PER_RATE, SCALE_PER_SITE,
 from .clv import _scale_consts
 from .clv_pallas import (_VMEM_BUDGET, block_diag_pmatrices,
                          fold_rate_scalers_inkernel, make_rate_mask,
-                         make_rate_sum, roll_coeff_pmatrices)
+                         make_rate_sum, mxu_dot, roll_coeff_pmatrices)
 from .clv_pallas_seg import SegmentedSchedule, build_segmented_schedule
 
 CHUNK = 64  # ops per grid step (the unrolled kernel body size)
@@ -368,9 +368,8 @@ def _dyn_contract(impl: str, states: int, rate_cats: int, w: int,
 
     def contract(coeff_ref, tile, off, x, dtype):
         if impl == "mxu":
-            return jnp.dot(coeff_ref[tile, :, off:off + w], x,
-                           preferred_element_type=dtype,
-                           precision=mxu_precision)
+            return mxu_dot(coeff_ref[tile, :, off:off + w], x, dtype,
+                              mxu_precision)
         acc = coeff_ref[tile, :, off:off + 1] * x
         for d in range(1, w):
             shift = np.int32((cs - d * rate_cats) % cs)
@@ -861,9 +860,8 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             child_row = state[cs_]
             # edge contraction with the edge matrix in its own [cs, w] tile
             if impl == "mxu":
-                termb = jnp.dot(edge_coeff_ref[0], child_row,
-                                preferred_element_type=dtype,
-                                precision=mxu_precision)
+                termb = mxu_dot(edge_coeff_ref[0], child_row, dtype,
+                                   mxu_precision)
             else:
                 termb = edge_coeff_ref[0, :, 0:1] * child_row
                 for d in range(1, w):
