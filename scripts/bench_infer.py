@@ -68,6 +68,26 @@ def simulate(tips, sites, seed=11):
             leaves.append(next_id)
             next_id += 1
 
+    # generating-topology newick (for the RF-to-truth report)
+    children = {}
+    for node, par in parent.items():
+        if node:
+            children.setdefault(par, []).append(node)
+    leaf_label = {n: f"t{i}" for i, n in enumerate(leaves)}
+
+    def nw(node):
+        if node in leaf_label:
+            return f"{leaf_label[node]}:{blen[node]:.5f}"
+        l, r = children[node]
+        return f"({nw(l)},{nw(r)}):{blen[node]:.5f}"
+
+    l, r = children[0]
+    rl, rr = children[r] if r in children else (None, None)
+    if rl is None:  # root child r is a leaf: expand the left side instead
+        l, r = r, l
+        rl, rr = children[r]
+    truth_newick = f"({nw(l)},{nw(rl)},{nw(rr)});"
+
     cat = rng.integers(0, 4, sites)  # per-site Γ category
     seq = {0: rng.choice(4, sites, p=freqs)}
     # branch lengths are i.i.d. uniform, so bucket them for P-matrix reuse
@@ -83,7 +103,8 @@ def simulate(tips, sites, seed=11):
         seq[node] = (probs.cumsum(1) > u[:, None]).argmax(1)
 
     alpha = np.array(list("ACGT"))
-    return {f"t{i}": "".join(alpha[seq[n]]) for i, n in enumerate(leaves)}
+    return ({f"t{i}": "".join(alpha[seq[n]]) for i, n in enumerate(leaves)},
+            truth_newick)
 
 
 def expm_gtr(params, freqs, t):
@@ -103,7 +124,7 @@ def main():
 
     print(f"simulating {tips} x {sites} DNA...", flush=True)
     t0 = time.perf_counter()
-    data = simulate(tips, sites)
+    data, truth_newick = simulate(tips, sites)
     assert len(data) == tips, len(data)
     print(f"  simulated in {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -117,6 +138,16 @@ def main():
           f"rounds={res.rounds}  parsimony_start={res.start_parsimony_score}")
     print("  phases:", {k: round(v, 2) for k, v in res.timings.items()})
     print("  trajectory:", [round(x, 1) for x in res.trajectory])
+
+    # topology quality vs the generating tree (0 = exact recovery; the
+    # normalized form divides by the 2(n-3) maximum)
+    from libpll_tpu.tree import utree as ut
+    from libpll_tpu.tree.compare import rf_distance
+    truth = ut.parse_newick_string(truth_newick)
+    rf = rf_distance(res.tree, truth)
+    rf_max = 2 * (tips - 3)
+    print(f"RF distance to generating topology: {rf}/{rf_max} "
+          f"(normalized {rf/rf_max:.4f})", flush=True)
 
     # float64 oracle validation of the final tree
     import oracle
