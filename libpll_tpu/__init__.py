@@ -10,6 +10,8 @@ Float64 is the engine's reference precision (like the C library); importing
 this package enables jax x64 support. Performance paths use explicit float32.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
@@ -18,6 +20,23 @@ _jax.config.update("jax_enable_x64", True)
 # whose f32 fast path claims f32 accuracy. Hot kernels that deliberately
 # trade precision override this per-call.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: remote-TPU platforms compile slowly (a
+# trivial fori_loop measured 254 s to compile, the stepwise build program
+# ~190 s at 2 048 taxa — and 1 s from cache on the next process).  Opt out
+# with LIBPLL_NO_COMPILE_CACHE=1 or by setting jax_compilation_cache_dir
+# yourself before importing.
+if (not _os.environ.get("LIBPLL_NO_COMPILE_CACHE")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "libpll_tpu", "jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           2.0)
+    except OSError:  # read-only home: run without the cache
+        pass
 
 from .engine.modelopt import ModelOptResult, optimize_model
 from .engine.partition import (ASC_FELSENSTEIN, ASC_LEWIS, ASC_NONE,

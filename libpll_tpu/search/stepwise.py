@@ -378,12 +378,13 @@ class StepwiseBuilder:
         return total
 
 
-# above this many taxa the accelerator device-loop build loses to the
-# host backend: the dirty-vector BFS depth (and with it the on-device
-# while_loop trip count) grows with the tree, while the CPU backend runs
-# the identical program with negligible per-trip overhead (measured at
-# 2048 x 2048: 14 s CPU vs 456 s TPU; at 500 x 10k the TPU wins 6.2x)
-_AUTO_CPU_TIPS = 1025
+# round-4 queue BFS removed the old TPU penalty at scale: the accelerator
+# device build now wins at every measured size once compiled (warm,
+# seed-exact, same run: 2 048 x 2 048 = 7.1 s TPU vs 17.9 s CPU vs
+# 137.2 s reference; 500 x 10 000 = 2.2 s TPU vs 7.7 s CPU vs 28.3 s
+# reference), so "auto" simply runs on the default backend.  First-ever
+# compiles are amortized by the package's persistent compilation cache.
+_AUTO_CPU_TIPS = None  # retained name: external scripts introspect it
 
 
 def fastparsimony_stepwise(partitions: Sequence[FastParsimony],
@@ -392,35 +393,21 @@ def fastparsimony_stepwise(partitions: Sequence[FastParsimony],
                            mesh=None) -> Tuple[UTree, int]:
     """reference pll_fastparsimony_stepwise (stepwise.c:337-546).
 
-    engine="device" runs the whole greedy build as one compiled program
-    on the default backend; engine="host" keeps the insertion loop on the
-    host with batched per-insertion device calls (the reference-shaped
-    dual path, kept for cross-validation); engine="auto" (default) runs
-    the device build, placed on the host CPU backend above
-    ``_AUTO_CPU_TIPS`` taxa when the default backend is an accelerator
-    (same program, better backend for its while_loop-heavy profile; the
-    tree/score are bit-identical).  All are seed- and tie-break-exact
-    with the reference.  Passing a ``mesh`` shards the Fitch word axis
-    across its devices (one integer psum per insertion) — the
-    giant-alignment configuration; results are bit-identical.
+    engine="device" (and the default "auto") runs the whole greedy build
+    as one compiled program on the default backend — since the round-4
+    compact-queue BFS it beats both the host CPU backend and the
+    reference at every measured size (see _AUTO_CPU_TIPS note);
+    engine="host" keeps the insertion loop on the host with batched
+    per-insertion device calls (the reference-shaped dual path, kept for
+    cross-validation).  All are seed- and tie-break-exact with the
+    reference.  Passing a ``mesh`` shards the Fitch word axis across its
+    devices (one integer psum per insertion) — the giant-alignment
+    configuration; results are bit-identical.
     """
-    import jax
-
     builder = StepwiseBuilder(partitions, labels)
     if mesh is not None:
         return builder.build_device_sharded(seed, mesh)
-    if engine == "auto":
-        if (len(labels) > _AUTO_CPU_TIPS
-                and jax.devices()[0].platform != "cpu"):
-            try:
-                cpu = jax.devices("cpu")[0]
-            except RuntimeError:  # cpu backend masked by jax_platforms
-                cpu = None
-            if cpu is not None:
-                with jax.default_device(cpu):
-                    return builder.build_device(seed)
-        return builder.build_device(seed)
-    if engine == "device":
+    if engine in ("auto", "device"):
         return builder.build_device(seed)
     if engine == "host":
         return builder.build(seed)
