@@ -46,18 +46,31 @@ SITES = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
 CHAIN = 9
 
 
-def timeit_chain(make_chain, *args, reps=3):
-    def run(k):
-        f = make_chain(k)
-        float(np.asarray(f(*args)).ravel()[0])  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(f(*args)).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-    t1, tk = run(1), run(CHAIN)
-    return (tk - t1) / (CHAIN - 1)
+def timeit_chain(make_chain, *args, pairs=7):
+    """Median of interleaved chain-pair differences (the bench.py round-4
+    methodology): compiling f1 and fK once, then timing them back-to-back
+    per pair, cancels the platform drift that corrupted the old
+    best-of-3(t1) / best-of-3(tK) split — observed phantom rates up to
+    163% of a hard roofline when t1 and tK were minutes apart."""
+    import statistics
+
+    f1, fk = make_chain(1), make_chain(CHAIN)
+    float(np.asarray(f1(*args)).ravel()[0])  # compile + warm
+    float(np.asarray(fk(*args)).ravel()[0])
+
+    def once(f):
+        t0 = time.perf_counter()
+        float(np.asarray(f(*args)).ravel()[0])
+        return time.perf_counter() - t0
+
+    dts = []
+    for i in range(pairs):
+        if i % 2 == 0:
+            a, b = once(f1), once(fk)
+        else:
+            b, a = once(fk), once(f1)
+        dts.append((b - a) / (CHAIN - 1))
+    return statistics.median(dts)
 
 
 def dense_peak(n=4096, precision="highest"):
@@ -74,19 +87,27 @@ def dense_peak(n=4096, precision="highest"):
             return jnp.sum(x[0, :1])
         return f
 
-    # long chain: one DEFAULT-precision link is ~0.7 ms, far below the
-    # platform's dispatch noise at the standard CHAIN length
-    def run(k):
-        f = make_chain(k)
+    # long chain (one DEFAULT-precision link is ~0.7 ms, far below the
+    # platform's dispatch noise) with interleaved-pair differencing
+    import statistics
+
+    f1, fk = make_chain(1), make_chain(65)
+    float(np.asarray(f1(a)).ravel()[0])
+    float(np.asarray(fk(a)).ravel()[0])
+
+    def once(f):
+        t0 = time.perf_counter()
         float(np.asarray(f(a)).ravel()[0])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(f(a)).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-    t1, tk = run(1), run(65)
-    return 2 * n**3 / ((tk - t1) / 64)
+        return time.perf_counter() - t0
+
+    dts = []
+    for i in range(5):
+        if i % 2 == 0:
+            x, y = once(f1), once(fk)
+        else:
+            y, x = once(fk), once(f1)
+        dts.append((y - x) / 64)
+    return 2 * n**3 / statistics.median(dts)
 
 
 def protein_score(tips, sites, dyn, precision="highest"):
@@ -120,10 +141,14 @@ def protein_score(tips, sites, dyn, precision="highest"):
         def f(model, *rest):
             total = jnp.zeros((), jnp.float32)
             m = dict(model)
-            for _ in range(k):
+            for i in range(k):
                 s = score(m, *rest)
                 total = total + s.astype(jnp.float32)
-                m["branch_lengths"] = model["branch_lengths"] + s * 1e-30
+                # data-dependent, ABOVE f32 ulp: s*1e-30 underflows to a
+                # no-op at f32, leaving identical chain links XLA can CSE
+                # (observed: a "146% of f32 ceiling" phantom measurement)
+                m["branch_lengths"] = (model["branch_lengths"]
+                                       + s * jnp.float32((i + 1) * 1e-12))
             return total
         return f
 
@@ -167,19 +192,21 @@ def main():
               f"(f32 budget at this |logL|: {budget:.3f})", flush=True)
 
     # deep-tree accuracy of bf16x3: a 256-taxon caterpillar compounds the
-    # per-level ~2.5e-5 relative CLV error worst-case
+    # per-level ~2.5e-5 relative CLV error worst-case (dyn scorer — a
+    # 256-taxon protein slab exceeds the fused kernel's VMEM budget)
     from test_accuracy import _caterpillar_newick
     from test_clv_pallas_seg import _build
     from libpll_tpu.engine import evaluate as ev
-    from libpll_tpu.ops import clv_pallas as cp
     topo, model, _, clv, _ = _build(_caterpillar_newick(256), sites=2048,
                                     states=20, seed=7)
     t = topo.schedule.tips
-    tp = cp.pack_tips(clv[:t], "mxu")
+    clv_np = np.asarray(clv[:t])
+    masks = ((clv_np[:, 0] > 0).astype(np.uint32)
+             << np.arange(20, dtype=np.uint32)[None, :, None]).sum(1)
     vals = {}
     for prec in ("highest", "high"):
-        s = ev.make_score(topo, 4, 20, impl="mxu", mxu_precision=prec)
-        vals[prec] = float(s(model, tp))
+        s = ev.make_score_unbounded(topo, 4, 20, masks, mxu_precision=prec)
+        vals[prec] = float(s(model))
     d = abs(vals["high"] - vals["highest"])
     budget = 2e-6 * abs(vals["highest"]) + 5e-3
     print(f"deep caterpillar 256 x 2048 protein: |logL_high - "

@@ -199,6 +199,25 @@ def giant():
     assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), results
     print("dyn-scorer mesh-size invariance: OK", flush=True)
 
+    # (c) opt-in FULL-taxa dyn mesh invariance ("giant full"): the exact
+    # sharded pattern-tip program at the complete 10 240-taxon structure,
+    # interpret mode, 1- vs 2-device meshes (the interpreter's python
+    # cost scales with devices x ops: ~2h total; measured 2026-08-19:
+    # logL=-3849335.5 bit-identical on both meshes, 4887s + 2371s)
+    if "full" in sys.argv[1:]:
+        tips, sites = 10240, 256
+        topo, model0, masks, _ = _build_flagship(tips, sites,
+                                                 tip_masks=True)
+        results = []
+        for n in (1, 2):
+            s, dt = run_sharded_dyn(topo, model0, masks, n)
+            results.append(s)
+            print(f"giant dyn score {tips} x {sites} on {n} devices: "
+                  f"logL={s:.3f} ({dt:.0f}s)", flush=True)
+        assert abs(results[0] - results[1]) <= 1e-6 * abs(results[0]), \
+            results
+        print("FULL-taxa dyn mesh invariance: OK", flush=True)
+
 
 def main():
     base = None
