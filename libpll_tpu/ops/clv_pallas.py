@@ -114,6 +114,28 @@ def roll_coeff_pmatrices(pmatrix: jax.Array) -> jax.Array:
     return jnp.transpose(a, (0, 2, 3, 1)).reshape(m, s * c, s)
 
 
+def tip_coeff_pmatrices(pmatrix: jax.Array, impl: str) -> jax.Array:
+    """[M, C, S, S] -> [M, C*S, S] tip-term coefficient tables: column d is
+    the transition-matrix column for child state d, rows in the packed
+    layout of ``impl`` (state-major s*C+c for "vpu", rate-major c*S+s for
+    "mxu").  Against a pattern tip's 0/1 indicator CLV the contraction
+    collapses to
+
+        (P @ tip)[row] = sum_d tipcoeff[row, d] * bit_d(code)
+
+    with ``bit_d`` a [1, L] lane row — no sublane rolls, no MXU pass, and
+    no decoded [C*S, L] tile.  This is the reference's tip-lookup
+    specialisation (`src/core_partials.c` `..._ti` kernels /
+    `set_tipclv`, `src/pll.c:925-931`) recast for the VPU: the bit walk
+    over ambiguity-code bits happens per lane instead of per site."""
+    m, c, s, _ = pmatrix.shape
+    if impl == "vpu":
+        pm = jnp.transpose(pmatrix, (0, 2, 1, 3))  # [M, S(parent), C, Sc]
+    else:
+        pm = pmatrix
+    return pm.reshape(m, c * s, s)
+
+
 def coeff_lane_width(impl: str, states: int, rate_cats: int) -> int:
     """Lane width of one matrix's coefficient tile: S roll-columns (vpu) or
     C*S matmul columns (mxu)."""
@@ -451,44 +473,52 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                  else roll_coeff_pmatrices(pmatrix))
         coeff = lane_pack_coeff(
             coeff, coeff_lane_width(impl, states, rate_cats))
+        pattern_tips = chars or bitmasks
+        if pattern_tips:
+            tcoeff = lane_pack_coeff(tip_coeff_pmatrices(pmatrix, impl),
+                                     states)
+            per_t = max(1, 128 // states)
         n_blocks = sites // bl
 
         contract = make_contract(impl, states, rate_cats, dtype,
                                  mxu_precision)
 
-        def kernel(tips_ref, coeff_ref, wvec_ref, pw_ref, *rest):
+        def kernel(tips_ref, coeff_ref, *rest):
+            if pattern_tips:
+                tcoeff_ref, wvec_ref, pw_ref, *rest = rest
+            else:
+                wvec_ref, pw_ref, *rest = rest
             if use_pinv:
                 inv_ref, out_ref, inner_ref, scaler_ref = rest
             else:
                 out_ref, inner_ref, scaler_ref = rest
 
-            def tipdecode(idx):
-                # in-VMEM pattern-tip decode: ambiguity code/bitmask ->
-                # 0/1 CLV rows (scalar shifts only; reference set_tipclv
-                # bit walk, pll.c:925-931)
+            def tip_term(m, idx):
+                # roll-free pattern-tip contraction: one [C*S,1]x[1,bl]
+                # broadcast FMA per ambiguity-code bit (tip_coeff_pmatrices)
                 if chars:
                     word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
-                    code = (jnp.right_shift(word, np.int32(4 * (idx % 8)))
-                            & 0xF)
+                    base = 4 * (idx % 8)
                 else:  # one bitmask word per tip (wide alphabets)
-                    code = tips_ref[pl.ds(idx, 1), :]
-                if impl == "vpu":  # state-major rows s*C + c
-                    return jnp.concatenate(
-                        [jnp.broadcast_to(
-                            jnp.right_shift(code, np.int32(s)) & 1,
-                            (rate_cats, bl)) for s in range(states)],
-                        axis=0).astype(dtype)
-                block = jnp.concatenate(
-                    [jnp.right_shift(code, np.int32(s)) & 1
-                     for s in range(states)], axis=0)
-                return jnp.concatenate([block] * rate_cats,
-                                       axis=0).astype(dtype)
+                    word = tips_ref[pl.ds(idx, 1), :]
+                    base = 0
+                g, off = m // per_t, (m % per_t) * states
+                acc = None
+                for d in range(states):
+                    bit = (jnp.right_shift(word, np.int32(base + d))
+                           & 1).astype(dtype)
+                    part = tcoeff_ref[g, :, off + d:off + d + 1] * bit
+                    acc = part if acc is None else acc + part
+                return acc
 
             def child(idx):
-                if idx >= tips:
-                    return inner_ref[idx - tips]
-                return (tipdecode(idx) if (chars or bitmasks)
-                        else tips_ref[idx])
+                return (tips_ref[idx] if idx < tips
+                        else inner_ref[idx - tips])
+
+            def term(m, idx):
+                if pattern_tips and idx < tips:
+                    return tip_term(m, idx)
+                return contract(coeff_ref, m, child(idx))
 
             def scaler_rows(row):
                 if row == dummy:
@@ -497,8 +527,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
             scaler_ref[dummy:dummy + 1, :] = jnp.zeros((1, bl), jnp.int32)
             for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
-                x = (contract(coeff_ref, m1, child(c1))
-                     * contract(coeff_ref, m2, child(c2)))
+                x = term(m1, c1) * term(m2, c2)
                 cnt = scaler_rows(s1) + scaler_rows(s2)
                 if scale_mode == SCALE_PER_SITE and has:
                     mask = jnp.max(x, axis=0, keepdims=True) < thresh
@@ -507,7 +536,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                 inner_ref[prow] = x
                 scaler_ref[prow:prow + 1, :] = cnt
 
-            termb = contract(coeff_ref, edge_matrix, child(child_clv))
+            termb = term(edge_matrix, child_clv)
             y = child(parent_clv) * termb * wvec_ref[...]
             term = jnp.sum(y, axis=0, keepdims=True)  # [1, bl]
             if use_pinv:
@@ -536,12 +565,19 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             tip_spec,
             pl.BlockSpec(coeff.shape, lambda j: (z,) * nd,
                          memory_space=pltpu.VMEM),
+        ]
+        args = [tips_packed, coeff]
+        if pattern_tips:
+            in_specs.append(pl.BlockSpec(tcoeff.shape, lambda j: (z, z, z),
+                                         memory_space=pltpu.VMEM))
+            args.append(tcoeff)
+        in_specs += [
             pl.BlockSpec((cs, 1), lambda j: (z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bl), lambda j: (z, j),
                          memory_space=pltpu.VMEM),
         ]
-        args = [tips_packed, coeff, weight_vec, pattern_weights]
+        args += [weight_vec, pattern_weights]
         if use_pinv:
             in_specs.append(pl.BlockSpec((1, bl), lambda j: (z, j),
                                          memory_space=pltpu.VMEM))
