@@ -473,7 +473,11 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                  else roll_coeff_pmatrices(pmatrix))
         coeff = lane_pack_coeff(
             coeff, coeff_lane_width(impl, states, rate_cats))
-        pattern_tips = chars or bitmasks
+        # roll-free tip terms pay off on the VPU path (they eliminate the
+        # sublane rolls); the MXU path keeps decode + block-diag matmul —
+        # S per-bit broadcast FMA temporaries at wide S blow the scoped
+        # VMEM stack and the matmul amortizes tips anyway.
+        pattern_tips = (chars or bitmasks) and impl == "vpu"
         if pattern_tips:
             tcoeff = lane_pack_coeff(tip_coeff_pmatrices(pmatrix, impl),
                                      states)
@@ -511,9 +515,33 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                     acc = part if acc is None else acc + part
                 return acc
 
+            def tipdecode(idx):
+                # in-VMEM pattern-tip decode for the matmul path:
+                # ambiguity code/bitmask -> 0/1 CLV rows (scalar shifts
+                # only; reference set_tipclv bit walk, pll.c:925-931)
+                if chars:
+                    word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
+                    code = (jnp.right_shift(word, np.int32(4 * (idx % 8)))
+                            & 0xF)
+                else:  # one bitmask word per tip (wide alphabets)
+                    code = tips_ref[pl.ds(idx, 1), :]
+                if impl == "vpu":  # state-major rows s*C + c
+                    return jnp.concatenate(
+                        [jnp.broadcast_to(
+                            jnp.right_shift(code, np.int32(s)) & 1,
+                            (rate_cats, bl)) for s in range(states)],
+                        axis=0).astype(dtype)
+                block = jnp.concatenate(
+                    [jnp.right_shift(code, np.int32(s)) & 1
+                     for s in range(states)], axis=0)
+                return jnp.concatenate([block] * rate_cats,
+                                       axis=0).astype(dtype)
+
             def child(idx):
-                return (tips_ref[idx] if idx < tips
-                        else inner_ref[idx - tips])
+                if idx >= tips:
+                    return inner_ref[idx - tips]
+                return (tipdecode(idx) if (chars or bitmasks)
+                        else tips_ref[idx])
 
             def term(m, idx):
                 if pattern_tips and idx < tips:
