@@ -553,13 +553,18 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
                     return jnp.zeros((1, bl), jnp.int32)
                 return scaler_ref[row:row + 1, :]
 
+            one = jnp.ones((), dtype)
             scaler_ref[dummy:dummy + 1, :] = jnp.zeros((1, bl), jnp.int32)
             for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
                 x = term(m1, c1) * term(m2, c2)
                 cnt = scaler_rows(s1) + scaler_rows(s2)
                 if scale_mode == SCALE_PER_SITE and has:
                     mask = jnp.max(x, axis=0, keepdims=True) < thresh
-                    x = jnp.where(mask, x * factor, x)
+                    # broadcast-multiply by a [1,bl] factor row instead of a
+                    # full-tile select: bit-identical (factor is an exact
+                    # power of two and x*1 == x for x >= 0), one fewer
+                    # full-tile op per scaled node
+                    x = x * jnp.where(mask, factor, one)
                     cnt = cnt + mask.astype(jnp.int32)
                 inner_ref[prow] = x
                 scaler_ref[prow:prow + 1, :] = cnt
@@ -716,7 +721,10 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                     # all(x < t) == max(x) < t, as a native f32 reduction
                     # (Mosaic cannot lower the bool all-reduce)
                     mask = jnp.max(x, axis=0, keepdims=True) < thresh
-                    x = jnp.where(mask, x * factor, x)
+                    # [1,bl] factor row broadcast-multiply instead of a full-tile
+                    # select: bit-identical (factor is an exact power of
+                    # two; x*1 == x for x >= 0), one fewer full-tile op
+                    x = x * jnp.where(mask, factor, jnp.ones((), dtype))
                     cnt = cnt + mask.astype(jnp.int32)
                 elif per_rate and has:
                     full, perr = rate_mask_fn(x, thresh)

@@ -470,7 +470,10 @@ def make_dyn_sweep(dyn: DynSchedule, scale_mode: int = SCALE_PER_SITE, *,
             if scale_mode == SCALE_PER_SITE:
                 mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
                         & (has > 0))
-                x = jnp.where(mask, x * factor, x)
+                # [1,bl] factor row broadcast-multiply instead of a full-tile
+                # select: bit-identical (factor is an exact power of
+                # two; x*1 == x for x >= 0), one fewer full-tile op
+                x = x * jnp.where(mask, factor, jnp.ones((), dtype))
                 cnt = cnt + mask.astype(jnp.int32)
             elif per_rate:
                 full, perr = rate_mask(x, thresh)
@@ -786,7 +789,10 @@ def make_dyn_score(dyn: DynSchedule, parent_lm: int, child_lm: int,
             if scale_mode == SCALE_PER_SITE:
                 mask = ((jnp.max(x, axis=0, keepdims=True) < thresh)
                         & (has > 0))
-                x = jnp.where(mask, x * factor, x)
+                # [1,bl] factor row broadcast-multiply instead of a full-tile
+                # select: bit-identical (factor is an exact power of
+                # two; x*1 == x for x >= 0), one fewer full-tile op
+                x = x * jnp.where(mask, factor, jnp.ones((), dtype))
                 cnt = cnt + mask.astype(jnp.int32)
             elif per_rate:
                 full, perr = rate_mask(x, thresh)

@@ -307,7 +307,10 @@ def _segment_kernel_body(ops, contract, scale_mode, thresh, factor,
         cnt = scaler(sr1) + scaler(sr2)
         if scale_mode == SCALE_PER_SITE and has:
             mask = jnp.max(x, axis=0, keepdims=True) < thresh
-            x = jnp.where(mask, x * factor, x)
+            # [1,bl] factor row broadcast-multiply instead of a full-tile
+            # select: bit-identical (factor is an exact power of
+            # two; x*1 == x for x >= 0), one fewer full-tile op
+            x = x * jnp.where(mask, factor, jnp.ones((), x.dtype))
             cnt = cnt + mask.astype(jnp.int32)
         elif scale_mode == SCALE_PER_RATE and has:
             full, perr = rate_mask(x, thresh)

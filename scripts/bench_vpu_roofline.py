@@ -158,23 +158,29 @@ def main():
           f"({roll/fma*100:.0f}% of the FMA rate — the roll cost)",
           flush=True)
 
-    # the flagship's implied contraction rate.  Only INNER children run
-    # the roll contraction (tip children are a nibble-decode + select,
-    # ops/clv_pallas.py): the 64-taxon flagship has 62 inner nodes with
-    # 124 children of which 64 are tips -> 60 contraction children.  One
-    # contraction = (2S-1) flops per element over the [S*C, bl] tile =
-    # (2S-1)*S flop per pattern-cat.
+    # the flagship's implied rates.  Since round 5 only INNER children run
+    # the roll contraction; tip children use the roll-free bit-product
+    # form (ops/clv_pallas.py tip_coeff_pmatrices: S broadcast FMAs, no
+    # rolls, no decode tile).  The 64-taxon flagship has 62 inner nodes
+    # with 124 children of which 64 are tips -> 60 roll children + 64 tip
+    # terms + 1 roll edge term.  Each class is (2S-1)*S flop per
+    # pattern-cat; tip terms are bounded by the pure-FMA rate, roll
+    # children by the roll-contraction rate.
     s4 = 4
-    contr_flops = 60 * 262144 * 4 * (2 * s4 - 1) * s4
-    for label, ms in (("1.77 ms band floor", 1.77),
-                      ("1.84 ms median", 1.84),
-                      ("1.89 ms band top", 1.89)):
-        rate = contr_flops / (ms * 1e-3)
-        print(f"flagship at {label}: {rate/1e12:.2f} Tflop/s of roll-"
-              f"contraction work = {rate/roll*100:.0f}% of the measured "
-              f"ceiling (remainder: 64 tip decodes, per-node product + "
-              f"scaling checks, final weight/fold, P-matrix loads)",
-              flush=True)
+    flops_pc = (2 * s4 - 1) * s4
+    contr_flops = 61 * 262144 * 4 * flops_pc
+    tip_flops = 64 * 262144 * 4 * flops_pc
+    floor_s = contr_flops / roll + tip_flops / fma
+    print(f"flagship two-class floor (61 roll children @ {roll/1e12:.2f} + "
+          f"64 tip terms @ {fma/1e12:.2f} Tflop/s): {floor_s*1e3:.2f} ms",
+          flush=True)
+    for label, ms in (("1.58 ms band floor", 1.58),
+                      ("1.63 ms median", 1.63),
+                      ("1.68 ms band top", 1.68)):
+        print(f"flagship at {label}: {floor_s/(ms*1e-3)*100:.0f}% of the "
+              f"two-class speed of light (remainder: per-node product + "
+              f"scaling checks, tip bit extracts, final weight/fold, "
+              f"P-matrix loads)", flush=True)
 
 
 if __name__ == "__main__":
