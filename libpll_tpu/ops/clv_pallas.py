@@ -123,16 +123,17 @@ def tip_coeff_pmatrices(pmatrix: jax.Array, impl: str) -> jax.Array:
 
         (P @ tip)[row] = sum_d tipcoeff[row, d] * bit_d(code)
 
-    with ``bit_d`` a [1, L] lane row — no sublane rolls, no MXU pass, and
-    no decoded [C*S, L] tile.  This is the reference's tip-lookup
-    specialisation (`src/core_partials.c` `..._ti` kernels /
-    `set_tipclv`, `src/pll.c:925-931`) recast for the VPU: the bit walk
-    over ambiguity-code bits happens per lane instead of per site."""
+    with ``bit_d`` a [1, L] lane row — no sublane rolls and no decoded
+    [C*S, L] tile.  This is the reference's tip-lookup specialisation
+    (`src/core_partials.c` `..._ti` kernels / `set_tipclv`,
+    `src/pll.c:925-931`) recast for the VPU: the bit walk over
+    ambiguity-code bits happens per lane instead of per site.  Rows are
+    state-major (s*C + c) — the VPU packed layout; the MXU path keeps
+    decode + block-diag matmul (see make_fused_edge_score) and never
+    uses these tables."""
+    assert impl == "vpu", "tip-term tables exist only for the VPU path"
     m, c, s, _ = pmatrix.shape
-    if impl == "vpu":
-        pm = jnp.transpose(pmatrix, (0, 2, 1, 3))  # [M, S(parent), C, Sc]
-    else:
-        pm = pmatrix
+    pm = jnp.transpose(pmatrix, (0, 2, 1, 3))  # [M, S(parent), C, Sc]
     return pm.reshape(m, c * s, s)
 
 
@@ -441,6 +442,12 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
     bitmasks = tip_encoding == "masks"
     if tip_encoding not in ("clv", "chars", "masks"):
         raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+    if chars and states > 4:
+        # a nibble holds 4 state bits; the roll-free tip term reads bit
+        # base+d without re-masking, which would cross into the next
+        # tip's nibble for d >= 4
+        raise ValueError("tip_encoding='chars' requires states <= 4; "
+                         "use 'masks' for wider alphabets")
 
     def score(tips_packed, pmatrix, weight_vec, pattern_weights,
               inv_add=None):
@@ -571,11 +578,11 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 
             termb = term(edge_matrix, child_clv)
             y = child(parent_clv) * termb * wvec_ref[...]
-            term = jnp.sum(y, axis=0, keepdims=True)  # [1, bl]
+            site_term = jnp.sum(y, axis=0, keepdims=True)  # [1, bl]
             if use_pinv:
-                term = term + inv_ref[...]
+                site_term = site_term + inv_ref[...]
             snum = scaler_rows(sp) + scaler_rows(sc)
-            lnl = (jnp.log(term)
+            lnl = (jnp.log(site_term)
                    + snum.astype(dtype) * log_scale) * pw_ref[...]
             # per-block partial sum; the f32-accuracy-critical global
             # reduction happens outside the kernel (f64 when enabled)

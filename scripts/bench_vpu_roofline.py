@@ -174,9 +174,9 @@ def main():
     print(f"flagship two-class floor (61 roll children @ {roll/1e12:.2f} + "
           f"64 tip terms @ {fma/1e12:.2f} Tflop/s): {floor_s*1e3:.2f} ms",
           flush=True)
-    for label, ms in (("1.58 ms band floor", 1.58),
-                      ("1.63 ms median", 1.63),
-                      ("1.68 ms band top", 1.68)):
+    for label, ms in (("1.38 ms band floor", 1.38),
+                      ("1.53 ms median", 1.53),
+                      ("1.62 ms band top", 1.62)):
         print(f"flagship at {label}: {floor_s/(ms*1e-3)*100:.0f}% of the "
               f"two-class speed of light (remainder: per-node product + "
               f"scaling checks, tip bit extracts, final weight/fold, "

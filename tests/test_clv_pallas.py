@@ -391,3 +391,54 @@ def test_fused_score_pattern_tips(states, encoding, impl):
           else jnp.asarray(masks.astype(np.int32)))
     got = float(score(model, tp))
     np.testing.assert_allclose(got, float(want), rtol=2e-5)
+
+
+@pytest.mark.parametrize("states,encoding,impl", [
+    (4, "chars", "vpu"),    # IUPAC multi-bit nibble codes
+    (20, "masks", "mxu"),   # protein B/Z/X multi-bit masks
+])
+def test_fused_score_ambiguity_codes(states, encoding, impl):
+    """Multi-bit ambiguity/gap codes through the pattern-tip fast paths.
+
+    The roll-free vpu tip term (tip_coeff_pmatrices) accumulates one
+    broadcast FMA per SET bit; one-hot tips exercise only a single term
+    of that sum, so this test drives IUPAC-style codes (R/Y/N/gap — the
+    reference's pll_map_nt ambiguity rows, src/maps.c) and the protein
+    B/Z/X equivalents, checking against the XLA forward on tip CLVs
+    built from the SAME masks (io.maps.tipmask_to_clv semantics:
+    set_tipclv bit walk, src/pll.c:925-931)."""
+    from libpll_tpu.engine.evaluate import make_forward, make_score
+    from libpll_tpu.io.maps import tipmask_to_clv
+    from test_clv_pallas_seg import _build as _build_seg
+
+    rng = np.random.default_rng(100 + states)
+    topo, model, pmatrix, clv, scalers = _build_seg(
+        _random_tree_newick(10, rng), sites=128, states=states)
+    t = topo.schedule.tips
+    sites = clv.shape[-1]
+
+    if states == 4:
+        # A C G T  R=A|G  Y=C|T  W  S  N/gap
+        pool = np.array([1, 2, 4, 8, 5, 10, 9, 6, 15], np.uint32)
+    else:
+        full = (1 << states) - 1
+        pool = np.array([1 << k for k in range(states)]
+                        + [(1 << 2) | (1 << 11),   # B = D|N (aa order)
+                           (1 << 3) | (1 << 13),   # Z = E|Q
+                           full], np.uint32)       # X / gap
+    masks = pool[rng.integers(0, len(pool), (t, sites))]
+
+    # install the equivalent 0/1 CLVs for the XLA reference forward
+    clv_np = np.array(clv)
+    for i in range(t):
+        clv_np[i] = np.broadcast_to(
+            np.asarray(tipmask_to_clv(masks[i], states)).T[None],
+            clv_np[i].shape)
+    want, _ = make_forward(topo)(model, jnp.asarray(clv_np), scalers)
+
+    score = make_score(topo, 4, states, impl=impl, tip_encoding=encoding,
+                       interpret=True)
+    tp = (cp.pack_tipchars(masks) if encoding == "chars"
+          else jnp.asarray(masks.astype(np.int32)))
+    got = float(score(model, tp))
+    np.testing.assert_allclose(got, float(want), rtol=2e-5)
