@@ -400,6 +400,37 @@ def make_score_sharded(topo: EvalTopology, rate_cats: int, states: int,
     return score
 
 
+def _pick_dyn_score_layout(schedule, rate_cats: int, states: int,
+                           sites: int, ensure_rows):
+    """(block_sites, DynSchedule) for the dyn score tier.
+
+    Measured on the chip (2026-08-20, chain-pair timing): per-block
+    overhead dominates the dyn kernels at the default 128-site block —
+    64×262k: 6.21 ms at bl=128 vs 3.17 at 256; 1024×16k: 8.89 at 128 vs
+    2.77 at 512 — while segment-boundary cost grows far slower than the
+    block widening saves (21 segments at bl=512 still beat 4 at 128).
+    The one exception is forcing a tree that fits ONE segment to split
+    (64×262k at bl=512: 2 segments, 3.60 ms — worse than 256's single
+    segment).  Rule: the widest candidate that keeps one segment, else
+    the widest divisible candidate; beyond 512 the row budget collapses
+    (bl=1024: 32 rows, 83 segments, 8.53 ms) so candidates stop there."""
+    from ..ops import clv_pallas_dyn as cpd
+
+    cs = rate_cats * states
+    candidates = [bs for bs in (512, 256, 128) if sites % bs == 0] or [128]
+    widest = None
+    for bs in candidates:
+        rows = 2 * cpd._dyn_max_rows(cs, 4, bs)
+        dyn = cpd.build_dyn_schedule(
+            schedule, rate_cats=rate_cats, states=states, max_rows=rows,
+            block_sites=bs, ensure_rows=ensure_rows)
+        if widest is None:
+            widest = (bs, dyn)
+        if len(dyn.segments) == 1:
+            return bs, dyn
+    return widest
+
+
 def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
                          tip_masks, use_pinv: bool = False,
                          mxu_precision: str = "highest",
@@ -422,15 +453,14 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
     if topo.asc_mode and use_pinv:
         raise ValueError("asc-bias and prop-invar are mutually exclusive")
     # score kernels hold no per-local output slabs (exports only), so they
-    # afford ~2x the sweep path's VMEM row budget; measured on TPU at
+    # afford ~2x the sweep path's VMEM row budget (measured on TPU at
     # 4096x8192: 18.0 ms (default rows) -> 16.1 ms (2x), regressing again
-    # beyond ~3x (VMEM pressure hurts pipelining)
-    score_rows = 2 * cpd._dyn_max_rows(rate_cats * states, 4, 128)
-    dyn = cpd.build_dyn_schedule(
-        topo.schedule, rate_cats=rate_cats, states=states,
-        max_rows=score_rows,
-        ensure_rows=[topo.parent_clv, topo.child_clv])
+    # beyond ~3x); the site-block width trades against segment count —
+    # see _pick_dyn_score_layout for the measured rule
     masks = np.asarray(tip_masks)
+    bs, dyn = _pick_dyn_score_layout(
+        topo.schedule, rate_cats, states, masks.shape[1],
+        [topo.parent_clv, topo.child_clv])
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
     impl = "vpu" if states <= 8 else "mxu"
     slabs = (cpd.pack_tipchars_dyn(masks, dyn) if enc == "chars"
@@ -440,7 +470,7 @@ def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
         tip_encoding=enc, impl=impl, use_pinv=use_pinv,
-        mxu_precision=mxu_precision, interpret=interpret)
+        block_sites=bs, mxu_precision=mxu_precision, interpret=interpret)
     asc_tail = (make_asc_tail(topo, rate_cats, states)
                 if topo.asc_mode else None)
 
@@ -488,12 +518,12 @@ def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
 
     if topo.asc_mode and use_pinv:
         raise ValueError("asc-bias and prop-invar are mutually exclusive")
-    score_rows = 2 * cpd._dyn_max_rows(rate_cats * states, 4, 128)
-    dyn = cpd.build_dyn_schedule(
-        topo.schedule, rate_cats=rate_cats, states=states,
-        max_rows=score_rows,
-        ensure_rows=[topo.parent_clv, topo.child_clv])
     masks = np.asarray(tip_masks)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # the block must divide each device's LOCAL site share
+    bs, dyn = _pick_dyn_score_layout(
+        topo.schedule, rate_cats, states, masks.shape[1] // n_dev,
+        [topo.parent_clv, topo.child_clv])
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
     impl = "vpu" if states <= 8 else "mxu"
     slabs = tuple(cpd.pack_tipchars_dyn(masks, dyn) if enc == "chars"
@@ -504,7 +534,8 @@ def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
     score_kernel = cpd.make_dyn_score(
         dyn, topo.parent_clv, topo.child_clv, topo.edge_matrix,
         topo.scale_mode, rate_cats=rate_cats, states=states,
-        tip_encoding=enc, impl=impl, use_pinv=use_pinv, interpret=interpret)
+        tip_encoding=enc, impl=impl, use_pinv=use_pinv,
+        block_sites=bs, interpret=interpret)
     asc_tail = (make_asc_tail(topo, rate_cats, states)
                 if topo.asc_mode else None)
 
