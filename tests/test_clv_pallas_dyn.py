@@ -322,3 +322,40 @@ def test_dyn_score_branchy_multisegment_scaling():
     pw = model["pattern_weights"][None, :].astype(jnp.float32)
     got = float(score(slabs, tables, m_g, exp_t, pmatrix, wvec, pw))
     np.testing.assert_allclose(got, float(want), rtol=2e-6)
+
+
+@pytest.mark.parametrize("states", [4, 20])
+def test_engine_unbounded_score_ambiguity_codes(states):
+    """Multi-bit ambiguity/gap codes through the dyn pattern-tip decode
+    (bits_of bit walk, reference set_tipclv src/pll.c:925-931): one-hot
+    tips exercise only single-bit codes; this drives IUPAC R/Y/N/gap and
+    protein B/Z/X masks against the XLA forward on tip CLVs built from
+    the SAME masks."""
+    from libpll_tpu.engine.evaluate import make_forward, make_score_unbounded
+    from libpll_tpu.io.maps import tipmask_to_clv
+
+    rng = np.random.default_rng(300 + states)
+    topo, model, pmatrix, clv, scalers = _build(
+        _random_tree_newick(12, rng), sites=128, states=states,
+        seed=300 + states)
+    t = topo.schedule.tips
+    sites = clv.shape[-1]
+
+    if states == 4:
+        pool = np.array([1, 2, 4, 8, 5, 10, 9, 6, 15], np.uint32)
+    else:
+        full = (1 << states) - 1
+        pool = np.array([1 << k for k in range(states)]
+                        + [(1 << 2) | (1 << 11), (1 << 3) | (1 << 13),
+                           full], np.uint32)
+    masks = pool[rng.integers(0, len(pool), (t, sites))]
+
+    clv_np = np.array(clv)
+    for i in range(t):
+        clv_np[i] = np.broadcast_to(
+            np.asarray(tipmask_to_clv(masks[i], states)).T[None],
+            clv_np[i].shape)
+    want, _ = make_forward(topo)(model, jnp.asarray(clv_np), scalers)
+
+    score = make_score_unbounded(topo, 4, states, masks, interpret=True)
+    np.testing.assert_allclose(float(score(model)), float(want), rtol=2e-5)
