@@ -405,30 +405,38 @@ def _pick_dyn_score_layout(schedule, rate_cats: int, states: int,
     """(block_sites, DynSchedule) for the dyn score tier.
 
     Measured on the chip (2026-08-20, chain-pair timing): per-block
-    overhead dominates the dyn kernels at the default 128-site block —
-    64×262k: 6.21 ms at bl=128 vs 3.17 at 256; 1024×16k: 8.89 at 128 vs
-    2.77 at 512 — while segment-boundary cost grows far slower than the
-    block widening saves (21 segments at bl=512 still beat 4 at 128).
-    The one exception is forcing a tree that fits ONE segment to split
-    (64×262k at bl=512: 2 segments, 3.60 ms — worse than 256's single
-    segment).  Rule: the widest candidate that keeps one segment, else
-    the widest divisible candidate; beyond 512 the row budget collapses
-    (bl=1024: 32 rows, 83 segments, 8.53 ms) so candidates stop there."""
+    overhead dominates the dyn kernels at the default 128-site block
+    when trees are small-to-mid — 64×262k: 6.21 ms at bl=128 vs 3.17 at
+    256; 1024×16k: 8.89 at 128 vs 2.77 at 512 (21 segments); 4096×8192:
+    16.1 at 128 vs 6.54 at 512 (~68 segments) — but the per-(segment ×
+    site-block) boundary restaging inverts it at giant scale: 10 240 ×
+    131 072 measured 0.90 s at bl=128 (36 segments), 1.89 s at 256 (80)
+    and 4.59 s at 512 (221).  Two further exceptions: forcing a
+    one-segment tree to split (64×262k at 512: 2 segments, 3.60 ms —
+    worse than 256's single segment), and blocks past 512, where the row
+    budget collapses (bl=1024: 32 rows, 83 segments, 8.53 ms at
+    1024×16k).  Rule, matching the best measured choice at all four
+    configs: the widest candidate that keeps ONE segment; else the
+    widest whose segments × site-blocks stays under ~4k (wide wins up to
+    ~1.1k measured, narrow wins from ~37k; the cut sits between); else
+    128."""
     from ..ops import clv_pallas_dyn as cpd
 
     cs = rate_cats * states
     candidates = [bs for bs in (512, 256, 128) if sites % bs == 0] or [128]
-    widest = None
+    builds = []
     for bs in candidates:
         rows = 2 * cpd._dyn_max_rows(cs, 4, bs)
         dyn = cpd.build_dyn_schedule(
             schedule, rate_cats=rate_cats, states=states, max_rows=rows,
             block_sites=bs, ensure_rows=ensure_rows)
-        if widest is None:
-            widest = (bs, dyn)
         if len(dyn.segments) == 1:
             return bs, dyn
-    return widest
+        builds.append((bs, dyn))
+    for bs, dyn in builds:  # widest first
+        if len(dyn.segments) * (sites // bs) <= 4000:
+            return bs, dyn
+    return builds[-1]
 
 
 def make_score_unbounded(topo: EvalTopology, rate_cats: int, states: int,
