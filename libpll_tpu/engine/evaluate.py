@@ -427,6 +427,15 @@ def _pick_dyn_score_layout(schedule, rate_cats: int, states: int,
     builds = []
     for bs in candidates:
         rows = 2 * cpd._dyn_max_rows(cs, 4, bs)
+        if bs != candidates[-1]:
+            # cheap pre-check: segments >= ceil(n_inner / row budget), so
+            # a width that provably can't reach one segment NOR pass the
+            # <=4k cut would be built only to be discarded — at giant
+            # scale those widest builds are exactly the most expensive
+            # segmentation walks
+            min_segs = -(-schedule.n_inner // rows)
+            if min_segs > 1 and min_segs * (sites // bs) > 4000:
+                continue
         dyn = cpd.build_dyn_schedule(
             schedule, rate_cats=rate_cats, states=states, max_rows=rows,
             block_sites=bs, ensure_rows=ensure_rows)
@@ -515,7 +524,10 @@ def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
     BASELINE.json: nibble-packed tips sharded over the mesh.
 
     Returns ``score(model) -> logl``; slab site length must divide
-    mesh size × the kernel's 128-site block.
+    mesh size × the kernel's site block (auto-picked from {128, 256,
+    512} per _pick_dyn_score_layout; 128 is always viable, and
+    per-device shares divisible by 256/512 unlock the measured
+    2.5–3.2× faster wide layouts).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -527,10 +539,11 @@ def make_score_unbounded_sharded(topo: EvalTopology, rate_cats: int,
     if topo.asc_mode and use_pinv:
         raise ValueError("asc-bias and prop-invar are mutually exclusive")
     masks = np.asarray(tip_masks)
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    # the block must divide each device's LOCAL site share
+    # the block must divide each device's LOCAL site share; slabs shard
+    # only over SITES_AXIS (P(None, SITES_AXIS) below)
+    n_shards = int(mesh.shape[SITES_AXIS])
     bs, dyn = _pick_dyn_score_layout(
-        topo.schedule, rate_cats, states, masks.shape[1] // n_dev,
+        topo.schedule, rate_cats, states, masks.shape[1] // n_shards,
         [topo.parent_clv, topo.child_clv])
     enc = "chars" if int(masks.max()) <= 0xF else "masks"
     impl = "vpu" if states <= 8 else "mxu"
