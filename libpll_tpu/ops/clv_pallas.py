@@ -262,6 +262,77 @@ def unpack_clv(packed: jax.Array, rate_cats: int, states: int,
     return packed.reshape(*lead, rate_cats, states, sites)
 
 
+def make_tip_term(tips_ref, tcoeff_ref, *, chars: bool, states: int,
+                  dtype):
+    """Roll-free pattern-tip term for the VPU path (see
+    tip_coeff_pmatrices): one [C*S,1]x[1,bl] broadcast FMA per
+    ambiguity-code bit.  ``tips_ref`` holds nibble words (chars) or one
+    bitmask word per tip (masks)."""
+    per_t = max(1, 128 // states)
+
+    def tip_term(m, idx):
+        if chars:
+            word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
+            base = 4 * (idx % 8)
+        else:
+            word = tips_ref[pl.ds(idx, 1), :]
+            base = 0
+        g, off = m // per_t, (m % per_t) * states
+        acc = None
+        for d in range(states):
+            bit = (jnp.right_shift(word, np.int32(base + d))
+                   & 1).astype(dtype)
+            part = tcoeff_ref[g, :, off + d:off + d + 1] * bit
+            acc = part if acc is None else acc + part
+        return acc
+
+    return tip_term
+
+
+def make_tipdecode(tips_ref, *, chars: bool, impl: str, states: int,
+                   rate_cats: int, bl: int, dtype):
+    """In-VMEM pattern-tip decode for the matmul (MXU) path: ambiguity
+    code/bitmask -> 0/1 CLV rows (scalar shifts only; reference
+    set_tipclv bit walk, pll.c:925-931)."""
+    def tipdecode(idx):
+        if chars:
+            word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
+            code = (jnp.right_shift(word, np.int32(4 * (idx % 8)))
+                    & 0xF)
+        else:  # one bitmask word per tip (wide alphabets)
+            code = tips_ref[pl.ds(idx, 1), :]
+        if impl == "vpu":  # state-major rows s*C + c
+            return jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.right_shift(code, np.int32(s)) & 1,
+                    (rate_cats, bl)) for s in range(states)],
+                axis=0).astype(dtype)
+        block = jnp.concatenate(
+            [jnp.right_shift(code, np.int32(s)) & 1
+             for s in range(states)], axis=0)
+        return jnp.concatenate([block] * rate_cats, axis=0).astype(dtype)
+
+    return tipdecode
+
+
+def _tip_slab_layout(tip_encoding: str, tips_packed, cs: int, tips: int,
+                     pmatrix):
+    """(chars, bitmasks, sites, dtype, tip_rows_eq) for a packed tip
+    input under ``tip_encoding`` — tip_rows_eq is the slab footprint in
+    [cs, bl]-row equivalents for the VMEM block chooser."""
+    chars = tip_encoding == "chars"
+    bitmasks = tip_encoding == "masks"
+    if chars:
+        words, sites = tips_packed.shape
+        return True, False, sites, pmatrix.dtype, max(1, -(-words // cs))
+    if bitmasks:
+        _, sites = tips_packed.shape
+        return False, True, sites, pmatrix.dtype, max(1, -(-tips // cs))
+    _, cs_in, sites = tips_packed.shape
+    assert cs_in == cs, (cs_in, cs)
+    return False, False, sites, tips_packed.dtype, tips
+
+
 def fused_sweep_supported(schedule: LevelSchedule, scale_mode: int,
                           rate_cats: int, states: int, sites: int,
                           itemsize: int = 4) -> bool:
@@ -452,20 +523,8 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
     def score(tips_packed, pmatrix, weight_vec, pattern_weights,
               inv_add=None):
         assert (inv_add is not None) == use_pinv
-        if chars:
-            words, sites = tips_packed.shape
-            dtype = pmatrix.dtype
-            # nibble slab footprint ~ words rows of int32 vs tips*cs rows
-            tip_rows_eq = max(1, -(-words // cs))
-        elif bitmasks:
-            _, sites = tips_packed.shape
-            dtype = pmatrix.dtype
-            tip_rows_eq = max(1, -(-tips // cs))
-        else:
-            _, cs_in, sites = tips_packed.shape
-            assert cs_in == cs, (cs_in, cs)
-            dtype = tips_packed.dtype
-            tip_rows_eq = tips
+        _, _, sites, dtype, tip_rows_eq = _tip_slab_layout(
+            tip_encoding, tips_packed, cs, tips, pmatrix)
         thresh, factor = _scale_consts(dtype)
         itemsize = np.dtype(dtype).itemsize
         log_scale = np.asarray(
@@ -488,7 +547,6 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
         if pattern_tips:
             tcoeff = lane_pack_coeff(tip_coeff_pmatrices(pmatrix, impl),
                                      states)
-            per_t = max(1, 128 // states)
         n_blocks = sites // bl
 
         contract = make_contract(impl, states, rate_cats, dtype,
@@ -504,45 +562,15 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
             else:
                 out_ref, inner_ref, scaler_ref = rest
 
-            def tip_term(m, idx):
-                # roll-free pattern-tip contraction: one [C*S,1]x[1,bl]
-                # broadcast FMA per ambiguity-code bit (tip_coeff_pmatrices)
-                if chars:
-                    word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
-                    base = 4 * (idx % 8)
-                else:  # one bitmask word per tip (wide alphabets)
-                    word = tips_ref[pl.ds(idx, 1), :]
-                    base = 0
-                g, off = m // per_t, (m % per_t) * states
-                acc = None
-                for d in range(states):
-                    bit = (jnp.right_shift(word, np.int32(base + d))
-                           & 1).astype(dtype)
-                    part = tcoeff_ref[g, :, off + d:off + d + 1] * bit
-                    acc = part if acc is None else acc + part
-                return acc
-
-            def tipdecode(idx):
-                # in-VMEM pattern-tip decode for the matmul path:
-                # ambiguity code/bitmask -> 0/1 CLV rows (scalar shifts
-                # only; reference set_tipclv bit walk, pll.c:925-931)
-                if chars:
-                    word = tips_ref[pl.ds(idx // 8, 1), :]  # [1, bl] int32
-                    code = (jnp.right_shift(word, np.int32(4 * (idx % 8)))
-                            & 0xF)
-                else:  # one bitmask word per tip (wide alphabets)
-                    code = tips_ref[pl.ds(idx, 1), :]
-                if impl == "vpu":  # state-major rows s*C + c
-                    return jnp.concatenate(
-                        [jnp.broadcast_to(
-                            jnp.right_shift(code, np.int32(s)) & 1,
-                            (rate_cats, bl)) for s in range(states)],
-                        axis=0).astype(dtype)
-                block = jnp.concatenate(
-                    [jnp.right_shift(code, np.int32(s)) & 1
-                     for s in range(states)], axis=0)
-                return jnp.concatenate([block] * rate_cats,
-                                       axis=0).astype(dtype)
+            if pattern_tips:
+                tip_term = make_tip_term(tips_ref, tcoeff_ref,
+                                         chars=chars, states=states,
+                                         dtype=dtype)
+            if chars or bitmasks:
+                tipdecode = make_tipdecode(tips_ref, chars=chars,
+                                           impl=impl, states=states,
+                                           rate_cats=rate_cats, bl=bl,
+                                           dtype=dtype)
 
             def child(idx):
                 if idx >= tips:
@@ -645,6 +673,7 @@ def make_fused_edge_score(schedule: LevelSchedule, parent_clv: int,
 def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                      *, impl: str = "auto", rate_cats: int, states: int,
                      block_sites: Optional[int] = None,
+                     tip_encoding: str = "clv",
                      mxu_precision: str = "highest",
                      interpret: bool = False):
     """Build ``sweep(tips_packed, pmatrix) -> (inner_packed, scalers)``.
@@ -655,6 +684,18 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
     :func:`unpack_clv`) and per-site scalers [n_inner + 1, L] int32 (last
     row the always-zero dummy), matching the level-major row convention of
     ops/sweep.py.
+
+    ``tip_encoding="chars"`` / ``"masks"`` accept pattern tips instead of
+    full CLVs — nibble-packed [ceil(tips/8), L] int32 words from
+    :func:`pack_tipchars` (DNA, 0.5 byte/tip/site) or one ambiguity
+    bitmask word per tip (wide alphabets) — decoded in VMEM exactly as in
+    the fused edge score (the reference's PLL_ATTRIB_PATTERN_TIP storage,
+    `src/pll.c:825-903`, for the all-CLVs-out sweep): the dominant tip
+    CLV input stream drops ~32x and the VMEM slab shrinks, admitting
+    larger site blocks.  On the VPU path tip children use the roll-free
+    bit-product term; their f32 inner CLVs can differ from the "clv"
+    encoding in the last ulp (different summation order), scalers are
+    bit-identical.
 
     impl="mxu": block-diagonal [C·S, C·S] matmul per child (bit-identical
     accumulation to the XLA einsum path).  impl="vpu": S cyclic sublane
@@ -675,6 +716,11 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
     if impl not in ("mxu", "vpu"):
         raise ValueError(f"unknown impl {impl!r}")
     per_rate = scale_mode == SCALE_PER_RATE
+    if tip_encoding not in ("clv", "chars", "masks"):
+        raise ValueError(f"unknown tip encoding {tip_encoding!r}")
+    if tip_encoding == "chars" and states > 4:
+        raise ValueError("tip_encoding='chars' requires states <= 4; "
+                         "use 'masks' for wider alphabets")
 
     tips, n_inner = schedule.tips, schedule.n_inner
     dummy = n_inner
@@ -682,25 +728,28 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
     cs = rate_cats * states
 
     def sweep(tips_packed, pmatrix):
-        _, cs_in, sites = tips_packed.shape
-        assert cs_in == cs, (cs_in, cs)
-        dtype = tips_packed.dtype
+        chars, bitmasks, sites, dtype, tip_rows_eq = _tip_slab_layout(
+            tip_encoding, tips_packed, cs, tips, pmatrix)
         thresh, factor = _scale_consts(dtype)
         itemsize = np.dtype(dtype).itemsize
 
         bl = block_sites or _pick_block_sites(
-            tips + n_inner, cs, sites, itemsize,
+            tip_rows_eq + n_inner, cs, sites, itemsize,
             (n_inner + 1) * (rate_cats if per_rate else 1))
         if bl is None or sites % bl != 0:
             raise ValueError(
-                f"no viable site block for {tips + n_inner} nodes x {cs} "
-                f"x {sites} sites; use the XLA sweep")
+                f"no viable site block for {tip_rows_eq + n_inner} nodes "
+                f"x {cs} x {sites} sites; use the XLA sweep")
 
         coeff = (block_diag_pmatrices(pmatrix) if impl == "mxu"
                  else roll_coeff_pmatrices(pmatrix))
         coeff = lane_pack_coeff(
             coeff, coeff_lane_width(impl, states, rate_cats))
         coeff_block = coeff.shape
+        pattern_tips = (chars or bitmasks) and impl == "vpu"
+        if pattern_tips:
+            tcoeff = lane_pack_coeff(tip_coeff_pmatrices(pmatrix, impl),
+                                     states)
         n_blocks = sites // bl
 
         contract = make_contract(impl, states, rate_cats, dtype,
@@ -708,10 +757,30 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
         srows = rate_cats if per_rate else 1  # scaler rows per node
         rate_mask_fn = make_rate_mask(impl, states, rate_cats)
 
-        def kernel(tips_ref, coeff_ref, inner_ref, scaler_ref):
+        def kernel(tips_ref, coeff_ref, *rest):
+            if pattern_tips:
+                tcoeff_ref, inner_ref, scaler_ref = rest
+                tip_term = make_tip_term(tips_ref, tcoeff_ref,
+                                         chars=chars, states=states,
+                                         dtype=dtype)
+            else:
+                inner_ref, scaler_ref = rest
+            if chars or bitmasks:
+                tipdecode = make_tipdecode(tips_ref, chars=chars,
+                                           impl=impl, states=states,
+                                           rate_cats=rate_cats, bl=bl,
+                                           dtype=dtype)
+
             def child(idx):
-                return (tips_ref[idx] if idx < tips
-                        else inner_ref[idx - tips])
+                if idx >= tips:
+                    return inner_ref[idx - tips]
+                return (tipdecode(idx) if (chars or bitmasks)
+                        else tips_ref[idx])
+
+            def term(m, idx):
+                if pattern_tips and idx < tips:
+                    return tip_term(m, idx)
+                return contract(coeff_ref, m, child(idx))
 
             def scaler_rows(row):
                 if row == dummy:
@@ -721,8 +790,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
             scaler_ref[dummy * srows:(dummy + 1) * srows, :] = (
                 jnp.zeros((srows, bl), jnp.int32))
             for (prow, c1, m1, c2, m2, s1, s2, has) in ops:
-                x = (contract(coeff_ref, m1, child(c1))
-                     * contract(coeff_ref, m2, child(c2)))
+                x = term(m1, c1) * term(m2, c2)
                 cnt = scaler_rows(s1) + scaler_rows(s2)
                 if scale_mode == SCALE_PER_SITE and has:
                     # all(x < t) == max(x) < t, as a native f32 reduction
@@ -741,7 +809,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                 scaler_ref[prow * srows:(prow + 1) * srows, :] = cnt
 
         flops = 2 * len(ops) * 2 * cs * cs * sites
-        bytes_accessed = ((tips + n_inner) * cs * sites * itemsize
+        bytes_accessed = ((tip_rows_eq + n_inner) * cs * sites * itemsize
                           + (n_inner + 1) * sites * 4)
 
         try:
@@ -754,15 +822,25 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
         # Python ints become under jax_enable_x64
         z = np.int32(0)
         nd = len(coeff_block)
+        tip_spec = (pl.BlockSpec((tips_packed.shape[0], bl),
+                                 lambda j: (z, j), memory_space=pltpu.VMEM)
+                    if (chars or bitmasks) else
+                    pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
+                                 memory_space=pltpu.VMEM))
+        in_specs = [
+            tip_spec,
+            pl.BlockSpec(coeff_block, lambda j: (z,) * nd,
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [tips_packed, coeff]
+        if pattern_tips:
+            in_specs.append(pl.BlockSpec(tcoeff.shape, lambda j: (z, z, z),
+                                         memory_space=pltpu.VMEM))
+            args.append(tcoeff)
         inner2d, scalers = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec((tips, cs, bl), lambda j: (z, z, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(coeff_block, lambda j: (z,) * nd,
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((n_inner, cs, bl), lambda j: (z, z, j),
                              memory_space=pltpu.VMEM),
@@ -780,7 +858,7 @@ def make_fused_sweep(schedule: LevelSchedule, scale_mode: int = SCALE_PER_SITE,
                 transcendentals=0),
             compiler_params=compiler_params,
             interpret=interpret,
-        )(tips_packed, coeff)
+        )(*args)
 
         if per_rate:
             scalers = scalers.reshape(n_inner + 1, rate_cats, sites)

@@ -442,3 +442,58 @@ def test_fused_score_ambiguity_codes(states, encoding, impl):
           else jnp.asarray(masks.astype(np.int32)))
     got = float(score(model, tp))
     np.testing.assert_allclose(got, float(want), rtol=2e-5)
+
+
+@pytest.mark.parametrize("states,encoding,impl", [
+    (4, "chars", "vpu"),
+    (20, "masks", "mxu"),
+    (4, "masks", "vpu"),
+])
+def test_fused_sweep_pattern_tips(states, encoding, impl):
+    """make_fused_sweep(tip_encoding=...): pattern tips (nibble codes /
+    bitmask words, incl. multi-bit ambiguities) through the all-CLVs-out
+    sweep.  Scalers must be bit-identical to the "clv" encoding; inner
+    CLVs agree to f32 tolerance (the VPU tip term sums ambiguity bits in
+    child-state order, the roll contraction in rotated order)."""
+    from libpll_tpu.io.maps import tipmask_to_clv
+    from test_clv_pallas_seg import _build as _build_seg
+
+    rng = np.random.default_rng(500 + states)
+    topo, model, pmatrix, clv, scalers = _build_seg(
+        _random_tree_newick(12, rng), sites=128, states=states,
+        seed=500 + states)
+    t = topo.schedule.tips
+    sites = clv.shape[-1]
+
+    if states == 4:
+        pool = np.array([1, 2, 4, 8, 5, 10, 9, 6, 15], np.uint32)
+    else:
+        pool = np.array([1 << k for k in range(states)]
+                        + [(1 << 2) | (1 << 11), (1 << states) - 1],
+                        np.uint32)
+    masks = pool[rng.integers(0, len(pool), (t, sites))]
+
+    clv_np = np.array(clv)
+    for i in range(t):
+        clv_np[i] = np.broadcast_to(
+            np.asarray(tipmask_to_clv(masks[i], states)).T[None],
+            clv_np[i].shape)
+
+    sweep_ref = cp.make_fused_sweep(topo.schedule, topo.scale_mode,
+                                    impl=impl, rate_cats=4, states=states,
+                                    interpret=True)
+    tp_ref = cp.pack_tips(jnp.asarray(clv_np[:t]), impl)
+    want_inner, want_scal = sweep_ref(tp_ref, pmatrix)
+
+    sweep_pt = cp.make_fused_sweep(topo.schedule, topo.scale_mode,
+                                   impl=impl, rate_cats=4, states=states,
+                                   tip_encoding=encoding, interpret=True)
+    tp = (cp.pack_tipchars(masks) if encoding == "chars"
+          else jnp.asarray(masks.astype(np.int32)))
+    got_inner, got_scal = sweep_pt(tp, pmatrix)
+
+    np.testing.assert_array_equal(np.asarray(got_scal),
+                                  np.asarray(want_scal))
+    np.testing.assert_allclose(np.asarray(got_inner),
+                               np.asarray(want_inner), rtol=2e-5,
+                               atol=1e-30)
